@@ -1,0 +1,20 @@
+"""Device engine dispatch: compile a Tokenizer's pipeline to batched TPU ops.
+
+`build_device_engine(tokenizer)` inspects the pipeline and returns an engine
+object with `encode_batch(list[str], add_special_tokens) -> list[Encoding]`
+when every stage is device-compilable, else None (host path is used).
+"""
+
+from __future__ import annotations
+
+
+def build_device_engine(tokenizer):
+    try:
+        from .bpe_engine import ByteLevelBpeEngine
+
+        engine = ByteLevelBpeEngine.try_build(tokenizer)
+        if engine is not None:
+            return engine
+    except ImportError:
+        pass
+    return None

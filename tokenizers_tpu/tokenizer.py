@@ -1,0 +1,460 @@
+"""Tokenizer: the pipeline holder and orchestration layer.
+
+Host-exact equivalent of reference `tokenizers/src/tokenizer/mod.rs`
+(`TokenizerImpl`): normalizer -> pre-tokenizer -> model -> post-processor ->
+decoder, plus added-vocabulary extraction, truncation/padding, batch APIs,
+training driver and `tokenizer.json` (de)serialization.
+
+`encode_batch` transparently dispatches to the compiled TPU engine
+(`tokenizers_tpu.ops.engine`) when the pipeline is device-compilable and
+offsets are not requested; the host path is the semantic reference and serves
+the long tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+from .added_vocabulary import AddedToken, AddedVocabulary
+from .encoding import Encoding
+from .models import Model
+from .pretokenized import BYTE, CHAR, NONE, PreTokenizedString
+from .utils.padding import BATCH_LONGEST, PaddingParams, pad_encodings
+from .utils.truncation import TruncationParams, truncate_encodings
+
+InputSequence = Union[str, Sequence[str]]
+
+
+class Tokenizer:
+    def __init__(self, model: Model):
+        self.model = model
+        self.normalizer = None
+        self.pre_tokenizer = None
+        self.post_processor = None
+        self.decoder = None
+        self.added_vocabulary = AddedVocabulary()
+        self.truncation: Optional[TruncationParams] = None
+        self.padding: Optional[PaddingParams] = None
+        self._device_engine = None
+        self._device_engine_key = None
+
+    # ------------------------------------------------------------------ io
+
+    @classmethod
+    def from_str(cls, s: str) -> "Tokenizer":
+        from .serialization import tokenizer_from_dict
+
+        return tokenizer_from_dict(json.loads(s))
+
+    @classmethod
+    def from_file(cls, path: str) -> "Tokenizer":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_str(f.read())
+
+    @classmethod
+    def from_buffer(cls, buffer: bytes) -> "Tokenizer":
+        return cls.from_str(buffer.decode("utf-8"))
+
+    @classmethod
+    def from_pretrained(
+        cls, identifier: str, revision: str = "main", token: Optional[str] = None
+    ) -> "Tokenizer":
+        """Load a `tokenizer.json` from a local path or the HF hub cache.
+
+        (reference `utils/from_pretrained.rs`; this build resolves local
+        paths/caches only — no network access is attempted here)."""
+        candidates = [
+            identifier,
+            os.path.join(identifier, "tokenizer.json"),
+        ]
+        hub_cache = os.environ.get(
+            "HF_HUB_CACHE",
+            os.path.join(
+                os.environ.get(
+                    "HF_HOME", os.path.expanduser("~/.cache/huggingface")
+                ),
+                "hub",
+            ),
+        )
+        model_dir = os.path.join(
+            hub_cache, "models--" + identifier.replace("/", "--")
+        )
+        if os.path.isdir(model_dir):
+            snapshots = os.path.join(model_dir, "snapshots")
+            if os.path.isdir(snapshots):
+                for snap in sorted(os.listdir(snapshots)):
+                    candidates.append(os.path.join(snapshots, snap, "tokenizer.json"))
+        for cand in candidates:
+            if os.path.isfile(cand):
+                return cls.from_file(cand)
+        raise FileNotFoundError(
+            f"Could not find a local tokenizer.json for {identifier!r} "
+            "(network downloads are not available)"
+        )
+
+    def to_str(self, pretty: bool = False) -> str:
+        from .serialization import tokenizer_to_dict
+
+        d = tokenizer_to_dict(self)
+        if pretty:
+            return json.dumps(d, ensure_ascii=False, indent=2)
+        return json.dumps(d, ensure_ascii=False, separators=(",", ":"))
+
+    def save(self, path: str, pretty: bool = True) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.to_str(pretty))
+
+    # -------------------------------------------------------------- settings
+
+    def enable_truncation(
+        self,
+        max_length: int,
+        stride: int = 0,
+        strategy: str = "longest_first",
+        direction: str = "right",
+    ) -> None:
+        self.truncation = TruncationParams(max_length, strategy, stride, direction)
+
+    def no_truncation(self) -> None:
+        self.truncation = None
+
+    def get_truncation(self) -> Optional[TruncationParams]:
+        return self.truncation
+
+    def enable_padding(
+        self,
+        direction: str = "right",
+        pad_id: int = 0,
+        pad_type_id: int = 0,
+        pad_token: str = "[PAD]",
+        length: Optional[int] = None,
+        pad_to_multiple_of: Optional[int] = None,
+    ) -> None:
+        strategy = BATCH_LONGEST if length is None else length
+        self.padding = PaddingParams(
+            strategy, direction, pad_to_multiple_of, pad_id, pad_type_id, pad_token
+        )
+
+    def no_padding(self) -> None:
+        self.padding = None
+
+    def get_padding(self) -> Optional[PaddingParams]:
+        return self.padding
+
+    def set_encode_special_tokens(self, value: bool) -> None:
+        self.added_vocabulary.encode_special_tokens = value
+
+    def get_encode_special_tokens(self) -> bool:
+        return self.added_vocabulary.encode_special_tokens
+
+    # ----------------------------------------------------------------- vocab
+
+    def get_vocab(self, with_added_tokens: bool = True) -> Dict[str, int]:
+        vocab = self.model.get_vocab()
+        if with_added_tokens:
+            vocab.update(self.added_vocabulary.get_vocab())
+        return vocab
+
+    def get_vocab_size(self, with_added_tokens: bool = True) -> int:
+        if not with_added_tokens:
+            return self.model.get_vocab_size()
+        n = self.model.get_vocab_size()
+        for content, id in self.added_vocabulary.get_vocab().items():
+            if self.model.token_to_id(content) is None:
+                n += 1
+        return n
+
+    def get_added_tokens_decoder(self) -> Dict[int, AddedToken]:
+        return self.added_vocabulary.get_added_tokens_decoder()
+
+    def token_to_id(self, token: str) -> Optional[int]:
+        return self.added_vocabulary.token_to_id(token, self.model)
+
+    def id_to_token(self, id: int) -> Optional[str]:
+        tok = self.added_vocabulary.added_tokens_map_r.get(id)
+        if tok is not None:
+            return tok.content
+        return self.model.id_to_token(id)
+
+    def add_tokens(self, tokens: Sequence[Union[str, AddedToken]]) -> int:
+        toks = [
+            t if isinstance(t, AddedToken) else AddedToken(t, normalized=True)
+            for t in tokens
+        ]
+        self._device_engine = None
+        return self.added_vocabulary.add_tokens(toks, self.model, self.normalizer)
+
+    def add_special_tokens(self, tokens: Sequence[Union[str, AddedToken]]) -> int:
+        toks = [
+            t if isinstance(t, AddedToken) else AddedToken(t, special=True)
+            for t in tokens
+        ]
+        self._device_engine = None
+        return self.added_vocabulary.add_special_tokens(
+            toks, self.model, self.normalizer
+        )
+
+    def num_special_tokens_to_add(self, is_pair: bool) -> int:
+        return (
+            self.post_processor.added_tokens(is_pair) if self.post_processor else 0
+        )
+
+    # ---------------------------------------------------------------- encode
+
+    def _encode_single_sequence(
+        self, sequence: InputSequence, type_id: int, offsets_type: str
+    ) -> Encoding:
+        def encode_one(is_pretokenized: bool, idx: int, subseq: str) -> Encoding:
+            pretokenized = self.added_vocabulary.extract_and_normalize(
+                self.normalizer, subseq
+            )
+            if self.pre_tokenizer is not None:
+                self.pre_tokenizer.pre_tokenize(pretokenized)
+            pretokenized.tokenize(
+                lambda normalized: self.model.tokenize(normalized.get())
+            )
+            return pretokenized.into_encoding(
+                idx if is_pretokenized else None, type_id, offsets_type
+            )
+
+        if isinstance(sequence, str):
+            return encode_one(False, 0, sequence)
+        encodings = [encode_one(True, i, s) for i, s in enumerate(sequence)]
+        merged = Encoding()
+        for e in encodings:
+            merged.merge_with(e, False)
+        return merged
+
+    def encode(
+        self,
+        sequence: InputSequence,
+        pair: Optional[InputSequence] = None,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> Encoding:
+        """Byte-referential offsets (reference `tokenizer/mod.rs:827`)."""
+        return self._encode(sequence, pair, add_special_tokens, BYTE)
+
+    def encode_char_offsets(
+        self,
+        sequence: InputSequence,
+        pair: Optional[InputSequence] = None,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> Encoding:
+        return self._encode(sequence, pair, add_special_tokens, CHAR)
+
+    def encode_fast(
+        self,
+        sequence: InputSequence,
+        pair: Optional[InputSequence] = None,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> Encoding:
+        """No offsets/tokens tracking (reference `tokenizer/mod.rs:785`)."""
+        return self._encode(sequence, pair, add_special_tokens, NONE)
+
+    def _encode(self, sequence, pair, add_special_tokens, offsets_type) -> Encoding:
+        encoding = self._encode_single_sequence(sequence, 0, offsets_type)
+        pair_encoding = (
+            self._encode_single_sequence(pair, 1, offsets_type)
+            if pair is not None
+            else None
+        )
+        return self.post_process(encoding, pair_encoding, add_special_tokens)
+
+    def encode_batch(
+        self,
+        inputs: Sequence,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> List[Encoding]:
+        """Batch encode; dispatches to the TPU engine when compilable
+        (reference `tokenizer/mod.rs:1278`)."""
+        return self._encode_batch(inputs, add_special_tokens, BYTE)
+
+    def encode_batch_char_offsets(
+        self,
+        inputs: Sequence,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> List[Encoding]:
+        return self._encode_batch(inputs, add_special_tokens, CHAR)
+
+    def encode_batch_fast(
+        self,
+        inputs: Sequence,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> List[Encoding]:
+        return self._encode_batch(inputs, add_special_tokens, NONE)
+
+    def _encode_batch(self, inputs, add_special_tokens, offsets_type) -> List[Encoding]:
+        engine = self._get_device_engine() if offsets_type == NONE else None
+        if engine is not None and all(isinstance(i, str) for i in inputs):
+            encodings = engine.encode_batch(list(inputs), add_special_tokens)
+        else:
+            encodings = []
+            for input in inputs:
+                if isinstance(input, tuple):
+                    seq, pr = input
+                else:
+                    seq, pr = input, None
+                encodings.append(
+                    self._encode(seq, pr, add_special_tokens, offsets_type)
+                )
+        if self.padding is not None:
+            pad_encodings(encodings, self.padding)
+        return encodings
+
+    def _get_device_engine(self):
+        """Build (and cache) the compiled TPU engine if this pipeline is
+        device-compilable."""
+        from .ops.engine import build_device_engine
+
+        key = id(self.model)
+        if self._device_engine is None or self._device_engine_key != key:
+            self._device_engine = build_device_engine(self)
+            self._device_engine_key = key
+        return self._device_engine
+
+    # ------------------------------------------------------------- post/pad
+
+    def post_process(
+        self,
+        encoding: Encoding,
+        pair_encoding: Optional[Encoding] = None,
+        add_special_tokens: bool = True,
+    ) -> Encoding:
+        """truncate -> process -> pad (reference `tokenizer/mod.rs:1206`)."""
+        if self.truncation is not None:
+            n_added = self.num_special_tokens_to_add(pair_encoding is not None)
+            if add_special_tokens and n_added > 0:
+                params = TruncationParams(
+                    max(0, self.truncation.max_length - n_added),
+                    self.truncation.strategy,
+                    self.truncation.stride,
+                    self.truncation.direction,
+                )
+            else:
+                params = self.truncation
+            encoding, pair_encoding = truncate_encodings(
+                encoding, pair_encoding, params
+            )
+
+        if self.post_processor is not None:
+            final = self.post_processor.process(
+                encoding, pair_encoding, add_special_tokens
+            )
+        else:
+            from .processors import default_process
+
+            encodings = [encoding]
+            if pair_encoding is not None:
+                encodings.append(pair_encoding)
+            out = default_process(encodings, add_special_tokens)
+            assert len(out) == 1
+            final = out[0]
+
+        if self.padding is not None:
+            pad_encodings([final], self.padding)
+        return final
+
+    # ---------------------------------------------------------------- decode
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        tokens = []
+        for id in ids:
+            token = self.id_to_token(int(id))
+            if token is None:
+                continue
+            if skip_special_tokens and self.added_vocabulary.is_special_token(token):
+                continue
+            tokens.append(token)
+        if self.decoder is not None:
+            return self.decoder.decode(tokens)
+        return " ".join(tokens)
+
+    def decode_batch(
+        self, sequences: Sequence[Sequence[int]], skip_special_tokens: bool = True
+    ) -> List[str]:
+        return [self.decode(ids, skip_special_tokens) for ids in sequences]
+
+    def decode_stream(self, skip_special_tokens: bool = True) -> "DecodeStream":
+        return DecodeStream(self, skip_special_tokens)
+
+    # ----------------------------------------------------------------- train
+
+    def train(self, files: Sequence[str], trainer=None) -> "Tokenizer":
+        def line_iter():
+            for path in files:
+                with open(path, "r", encoding="utf-8") as f:
+                    for line in f:
+                        yield line
+
+        return self.train_from_iterator(line_iter(), trainer)
+
+    def train_from_iterator(
+        self, iterator: Iterable[str], trainer=None, length: Optional[int] = None
+    ) -> "Tokenizer":
+        if trainer is None:
+            trainer = self.model.get_trainer()
+
+        def process_fn(seq: str) -> List[str]:
+            pretokenized = self.added_vocabulary.extract_and_normalize(
+                self.normalizer, seq
+            )
+            if self.pre_tokenizer is not None:
+                self.pre_tokenizer.pre_tokenize(pretokenized)
+            return [
+                s for s, _, _ in pretokenized.get_splits("original", BYTE)
+            ]
+
+        trainer.feed(iterator, process_fn)
+        special_tokens = trainer.train(self.model)
+        self.add_special_tokens(special_tokens)
+        self._device_engine = None
+        return self
+
+
+class DecodeStream:
+    """Incremental decoding with prefix-trim state machine
+    (reference `tokenizer/mod.rs:1017-1127`)."""
+
+    __slots__ = ("tokenizer", "skip_special_tokens", "ids", "prefix", "prefix_index")
+
+    def __init__(self, tokenizer: Tokenizer, skip_special_tokens: bool = True):
+        self.tokenizer = tokenizer
+        self.skip_special_tokens = skip_special_tokens
+        self.ids: List[int] = []
+        self.prefix: str = ""
+        self.prefix_index: int = 0
+
+    def step(self, id: int) -> Optional[str]:
+        return self._step_many([id])
+
+    def _step_many(self, token_ids: List[int]) -> Optional[str]:
+        if not self.prefix and self.ids:
+            new_prefix = self.tokenizer.decode(self.ids, self.skip_special_tokens)
+            if not new_prefix.endswith("�"):
+                self.prefix = new_prefix
+                self.prefix_index = len(self.ids)
+
+        self.ids.extend(token_ids)
+        string = self.tokenizer.decode(self.ids, self.skip_special_tokens)
+        if len(string.encode("utf-8")) > len(self.prefix.encode("utf-8")) and not string.endswith("�"):
+            if not string.startswith(self.prefix):
+                raise ValueError(
+                    f"Invalid prefix encountered while decoding stream. "
+                    f"Token ID: {self.ids[-1]}, Expected prefix: {self.prefix!r}, "
+                    f"Actual string: {string!r}"
+                )
+            new_text = string[len(self.prefix):]
+            new_prefix_index = len(self.ids) - self.prefix_index
+            self.ids = self.ids[self.prefix_index:]
+            self.prefix = self.tokenizer.decode(self.ids, self.skip_special_tokens)
+            self.prefix_index = new_prefix_index
+            return new_text
+        return None
