@@ -202,6 +202,10 @@ class Replace(Decoder):
 from ..pre_tokenizers.byte_level import ByteLevel  # noqa: E402  (decoder role)
 from ..pre_tokenizers.metaspace import Metaspace  # noqa: E402  (decoder role)
 
+# These play the Decoder role with the default join-chain decode.
+ByteLevel.decode = Decoder.decode
+Metaspace.decode = Decoder.decode
+
 __all__ = [
     "Decoder",
     "Sequence",

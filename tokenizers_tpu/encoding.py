@@ -123,11 +123,9 @@ class Encoding:
         return None
 
     def _sequence_tokens(self, sequence_id: int) -> range:
-        if not self.sequence_ranges:
-            if sequence_id == 0:
-                return range(0, len(self.ids))
-            return range(0, 0)
-        return self.sequence_ranges.get(sequence_id, range(0, 0))
+        # unknown sequence ids fall back to the full token range
+        # (reference `encoding.rs` sequence_range unwrap_or(0..len))
+        return self.sequence_ranges.get(sequence_id, range(0, len(self.ids)))
 
     def word_to_tokens(
         self, word: int, sequence_id: int = 0
@@ -154,12 +152,14 @@ class Encoding:
         return (self.offsets[start][0], self.offsets[end - 1][1])
 
     def token_to_chars(self, token: int) -> Optional[Tuple[int, int]]:
-        if token >= len(self.ids):
+        """None for tokens outside any sequence (e.g. special tokens)
+        (reference `encoding.rs:269`)."""
+        if token >= len(self.ids) or self.token_to_sequence(token) is None:
             return None
         return self.offsets[token]
 
     def token_to_word(self, token: int) -> Optional[int]:
-        if token >= len(self.ids):
+        if token >= len(self.ids) or self.token_to_sequence(token) is None:
             return None
         return self.words[token]
 
@@ -257,26 +257,22 @@ class Encoding:
 
     def merge_with(self, other: "Encoding", growing_offsets: bool = False) -> None:
         """Append `other`, cross-producting overflowing windows
-        (reference `encoding.rs:391-463`)."""
-        # Combine overflowings: (self x other), (self x other.overflowing),
-        # (self.overflowing x other), (self.overflowing x other.overflowing)
+        (reference `encoding.rs:407-463`)."""
         new_overflowing: List[Encoding] = []
-        originals = [self._copy_no_overflow()] + [
-            o._copy_no_overflow() for o in self.overflowing
-        ]
-        others = [other._copy_no_overflow()] + [
-            o._copy_no_overflow() for o in other.overflowing
-        ]
-        first = True
-        for a in originals:
-            for b in others:
-                if first:
-                    first = False
-                    continue
-                merged = a._copy_no_overflow()
-                merged.sequence_ranges = dict(a.sequence_ranges)
-                merged._append(b, growing_offsets)
-                new_overflowing.append(merged)
+        # 1. all our overflowings with the pair (recursively) and its overflowings
+        for self_o in self.overflowing:
+            n = self_o.copy()
+            n.merge_with(other.copy(), growing_offsets)
+            new_overflowing.append(n)
+            for other_o in other.overflowing:
+                n = self_o.copy()
+                n.merge_with(other_o.copy(), growing_offsets)
+                new_overflowing.append(n)
+        # 2. ourself with all the other overflowings
+        for other_o in other.overflowing:
+            n = self._copy_no_overflow()
+            n.merge_with(other_o.copy(), growing_offsets)
+            new_overflowing.append(n)
 
         self._append(other, growing_offsets)
         self.overflowing = new_overflowing

@@ -192,6 +192,9 @@ class RobertaProcessing(PostProcessor):
 from .template import TemplateProcessing, SpecialToken, Piece, Template  # noqa: E402
 from ..pre_tokenizers.byte_level import ByteLevel  # noqa: E402  (processor role)
 
+# ByteLevel plays the PostProcessor role with the default pair-merging process.
+ByteLevel.process = PostProcessor.process
+
 __all__ = [
     "PostProcessor",
     "Sequence",

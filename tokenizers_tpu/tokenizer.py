@@ -234,7 +234,19 @@ class Tokenizer:
         is_pretokenized: bool = False,
         add_special_tokens: bool = True,
     ) -> Encoding:
-        """Byte-referential offsets (reference `tokenizer/mod.rs:827`)."""
+        """Char-referential offsets, matching the reference Python binding
+        (`bindings/python/src/tokenizer.rs:1070` wraps `encode_char_offsets`).
+        Use `encode_byte_offsets` for the Rust-core byte referential."""
+        return self._encode(sequence, pair, add_special_tokens, CHAR)
+
+    def encode_byte_offsets(
+        self,
+        sequence: InputSequence,
+        pair: Optional[InputSequence] = None,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> Encoding:
+        """Byte-referential offsets (reference Rust `tokenizer/mod.rs:827`)."""
         return self._encode(sequence, pair, add_special_tokens, BYTE)
 
     def encode_char_offsets(
@@ -271,8 +283,18 @@ class Tokenizer:
         is_pretokenized: bool = False,
         add_special_tokens: bool = True,
     ) -> List[Encoding]:
-        """Batch encode; dispatches to the TPU engine when compilable
-        (reference `tokenizer/mod.rs:1278`)."""
+        """Batch encode with char offsets, matching the reference Python
+        binding (`bindings/python/src/tokenizer.rs:1207`); dispatches to the
+        TPU engine when compilable."""
+        return self._encode_batch(inputs, add_special_tokens, CHAR)
+
+    def encode_batch_byte_offsets(
+        self,
+        inputs: Sequence,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> List[Encoding]:
+        """(reference Rust `tokenizer/mod.rs:1278`)"""
         return self._encode_batch(inputs, add_special_tokens, BYTE)
 
     def encode_batch_char_offsets(
