@@ -1,9 +1,18 @@
 import os
 
-# Multi-chip tests run on a virtual CPU mesh; set flags before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Multi-chip tests run on a virtual 8-device CPU mesh.
+#
+# The container pins JAX_PLATFORMS=axon (one tunneled TPU chip) and its
+# sitecustomize imports jax at interpreter startup, so env vars set here are
+# too late — but the backend only initializes on first use, so
+# jax.config.update still wins.  XLA_FLAGS is read at backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,1 +1,26 @@
-"""Device kernels: packed-byte batch tokenization on TPU (JAX/XLA/Pallas)."""
+"""Device kernels: packed-byte batch tokenization on TPU (JAX/XLA/Pallas).
+
+Importing this package enables JAX's persistent compilation cache (keyed per
+backend), so per-(B, L)-bucket program compiles are paid once per machine,
+not once per process.
+"""
+
+import os
+
+
+def _enable_compilation_cache():
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "tokenizers_tpu", "jax_cache"
+            )
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

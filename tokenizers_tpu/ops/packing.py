@@ -1,0 +1,70 @@
+"""Host-side batch packing: list[str] -> bucketed uint8[B, L] byte tensors.
+
+The device programs are compiled per (B, L) shape; to bound recompiles,
+byte-lengths are bucketed to powers of two and each bucket is chunked so
+B*L stays near a fixed position budget (also a power of two).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+MIN_L = 64
+MAX_L = 1 << 17  # strings longer than this fall back to the host path
+POSITION_BUDGET = 1 << 21  # ~2M byte positions per device call
+
+
+def bucket_length(n: int) -> int:
+    L = MIN_L
+    while L < n:
+        L <<= 1
+    return L
+
+
+def _pow2_rows(n: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
+def pack_batch(
+    byte_strings: Sequence[bytes],
+) -> List[Tuple[np.ndarray, np.ndarray, List[int]]]:
+    """Group byte strings into (bytes u8[B,L], lengths i32[B], orig_indices)
+    chunks. Strings longer than MAX_L are not returned (caller must check)."""
+    buckets = {}
+    for i, s in enumerate(byte_strings):
+        L = bucket_length(len(s))
+        buckets.setdefault(L, []).append(i)
+
+    out = []
+    for L, idxs in sorted(buckets.items()):
+        rows_per_chunk = max(1, POSITION_BUDGET // L)
+        for c in range(0, len(idxs), rows_per_chunk):
+            chunk = idxs[c : c + rows_per_chunk]
+            B = _pow2_rows(len(chunk))
+            # vectorized fill: one C-level join + fancy-index scatter
+            flat = np.frombuffer(
+                b"".join(byte_strings[i] for i in chunk), dtype=np.uint8
+            )
+            lens = np.array(
+                [len(byte_strings[i]) for i in chunk], dtype=np.int32
+            )
+            buf = np.zeros((B, L), dtype=np.uint8)
+            lengths = np.zeros((B,), dtype=np.int32)
+            lengths[: len(chunk)] = lens
+            starts = np.concatenate(
+                [[0], np.cumsum(lens[:-1], dtype=np.int64)]
+            ) if len(chunk) else np.zeros(0, np.int64)
+            rows = np.repeat(
+                np.arange(len(chunk), dtype=np.int64), lens.astype(np.int64)
+            )
+            cols = np.arange(flat.size, dtype=np.int64) - np.repeat(
+                starts, lens.astype(np.int64)
+            )
+            buf[rows, cols] = flat
+            out.append((buf, lengths, chunk))
+    return out

@@ -1,0 +1,295 @@
+"""DistributedBpeTrainer: data-parallel BPE training over a device mesh.
+
+Produces *identical* vocab/merges to the host `BpeTrainer` (and therefore to
+the reference `tokenizers/src/models/bpe/trainer.rs`), with the O(corpus)
+per-merge work — occurrence finding, merge application, pair-count deltas —
+running sharded on device and reduced with deterministic `psum`s
+(see `ops/bpe_train_step.py`).  The host keeps only the tiny serial state:
+token minting, the pair registry index, and the stop conditions.
+
+Mesh axis: 'data' (corpus words sharded). Works on any mesh size including a
+single chip; multi-host meshes shard W across all chips with counts reduced
+over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..added_vocabulary import AddedToken
+from ..trainers.bpe_trainer import BpeTrainer
+from .. import ops as _ops  # noqa: F401  (enables the compilation cache)
+from ..ops.bpe_train_step import PairRegistry, _hash_pair, MAXPROBE, make_round
+
+UPDATE_CAP = 16384  # padded size of per-round registry insert scatters
+
+
+class DistributedBpeTrainer:
+    """Same configuration surface as `BpeTrainer`; `train` runs on device."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, **kwargs):
+        self.base = BpeTrainer(**kwargs)
+        self.mesh = mesh
+        self._touched_slots: List[int] = []
+
+    @property
+    def words(self):
+        return self.base.words
+
+    def feed(self, iterator, process):
+        self.base.feed(iterator, process)
+
+    def train(self, model) -> List[AddedToken]:
+        return self.do_train(self.base.words, model)
+
+    # ------------------------------------------------------------------ train
+
+    def do_train(self, word_counts: Dict[str, int], model) -> List[AddedToken]:
+        cfg = self.base
+        mesh = self.mesh
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        ndev = mesh.devices.size
+
+        word_to_id: Dict[str, int] = {}
+        id_to_word: List[str] = []
+        max_token_length = (
+            cfg.max_token_length if cfg.max_token_length is not None else 1 << 30
+        )
+
+        for token in cfg.special_tokens:
+            if token.content not in word_to_id:
+                id_to_word.append(token.content)
+                word_to_id[token.content] = len(id_to_word) - 1
+        cfg._compute_alphabet(word_counts, word_to_id, id_to_word)
+        words, counts = cfg._tokenize_words(word_counts, word_to_id, id_to_word)
+
+        v_cap = max(cfg.vocab_size, len(id_to_word)) + 1
+        # ---- pack corpus -------------------------------------------------
+        W = len(words)
+        K = max((len(w) for w, _ in words), default=1)
+        K = max(K, 1)
+        Wp = -(-max(W, 1) // ndev) * ndev
+        ids_np = np.full((Wp, K + 1), -1, np.int32)
+        alive_np = np.zeros((Wp, K + 1), bool)
+        nxt_np = np.full((Wp, K + 1), K, np.int32)
+        prv_np = np.full((Wp, K + 1), K, np.int32)
+        wc_np = np.zeros(Wp, np.int32)
+        for i, (w, _lens) in enumerate(words):
+            n = len(w)
+            if n == 0:
+                continue
+            ids_np[i, :n] = w
+            alive_np[i, :n] = True
+            if n > 1:
+                nxt_np[i, : n - 1] = np.arange(1, n, dtype=np.int32)
+                prv_np[i, 1:n] = np.arange(0, n - 1, dtype=np.int32)
+            wc_np[i] = counts[i]
+
+        # ---- initial pair counts (host, vectorized) ----------------------
+        a = ids_np[:, :-2].reshape(-1).astype(np.int64)
+        b = ids_np[:, 1:-1].reshape(-1).astype(np.int64)
+        wrep = np.repeat(wc_np, K - 1) if K > 1 else np.zeros(0, np.int64)
+        ok = (a >= 0) & (b >= 0)
+        keys = a[ok] * v_cap + b[ok]
+        w_ok = wrep[ok]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        csum = np.bincount(inv, weights=w_ok).astype(np.int64)
+        pairs = {
+            (int(k // v_cap), int(k % v_cap)): int(c)
+            for k, c in zip(uniq, csum)
+        }
+
+        n_merges_budget = max(0, cfg.vocab_size - len(id_to_word))
+        p_cap = len(pairs) + 8 * max(256, n_merges_budget) + UPDATE_CAP
+        p_cap = -(-p_cap // 65536) * 65536  # bucket: stable compiled shapes
+        reg = PairRegistry(pairs, p_cap)
+
+        # ---- device state ------------------------------------------------
+        shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        d_words = jax.device_put(ids_np, shard)
+        d_nxt = jax.device_put(nxt_np, shard)
+        d_prv = jax.device_put(prv_np, shard)
+        d_alive = jax.device_put(alive_np, shard)
+        d_wc = jax.device_put(wc_np, shard)
+        d_reg_a = jax.device_put(reg.reg_a, repl)
+        d_reg_b = jax.device_put(reg.reg_b, repl)
+        d_count = jax.device_put(reg.count, repl)
+        d_slots = jax.device_put(reg.slots, repl)
+        id2len_np = np.ones(v_cap, np.int32)
+        d_id2len = jax.device_put(id2len_np, repl)
+
+        select_jit, round_jit = make_round(mesh, p_cap, v_cap)
+        update_jit = _make_update_fn()
+
+        merges: List[Tuple[Tuple[int, int], int]] = []
+        id2len_host: Dict[int, int] = {}
+
+        while len(word_to_id) < cfg.vocab_size:
+            best, sa, sb = select_jit(d_reg_a, d_reg_b, d_count)
+            best = int(best)
+            sa = int(sa)
+            sb = int(sb)
+            if best < 1 or cfg.min_frequency > best:
+                break
+
+            part_a = id_to_word[sa]
+            part_b = id_to_word[sb]
+            if cfg.continuing_subword_prefix and part_b.startswith(
+                cfg.continuing_subword_prefix
+            ):
+                part_b = part_b[len(cfg.continuing_subword_prefix) :]
+            new_token = part_a + part_b
+            new_id = word_to_id.get(new_token, len(id_to_word))
+            if new_token not in word_to_id:
+                id_to_word.append(new_token)
+                word_to_id[new_token] = new_id
+            merges.append(((sa, sb), new_id))
+            new_len = id2len_host.get(sa, 1) + id2len_host.get(sb, 1)
+            id2len_host[new_id] = new_len
+
+            (
+                d_words,
+                d_nxt,
+                d_prv,
+                d_alive,
+                d_count,
+                d_id2len,
+                dl,
+                dr,
+                _merged,
+            ) = round_jit(
+                d_words,
+                d_nxt,
+                d_prv,
+                d_alive,
+                d_wc,
+                d_reg_a,
+                d_reg_b,
+                d_count,
+                d_slots,
+                d_id2len,
+                jnp.int32(sa),
+                jnp.int32(sb),
+                jnp.int32(new_id),
+                jnp.int32(new_len),
+                jnp.int32(max_token_length),
+            )
+
+            # ---- register pairs involving the new token ------------------
+            dl = np.asarray(dl)
+            dr = np.asarray(dr)
+            upd: List[Tuple[int, int, int, int]] = []  # (idx, a, b, delta)
+            for x in np.nonzero(dl)[0]:
+                upd.append(
+                    self._register(reg, int(x), new_id, int(dl[x]))
+                )
+            for y in np.nonzero(dr)[0]:
+                upd.append(
+                    self._register(reg, new_id, int(y), int(dr[y]))
+                )
+            if upd:
+                for c0 in range(0, len(upd), UPDATE_CAP):
+                    chunk = upd[c0 : c0 + UPDATE_CAP]
+                    ui = np.full(UPDATE_CAP, p_cap, np.int32)
+                    ua = np.zeros(UPDATE_CAP, np.int32)
+                    ub = np.zeros(UPDATE_CAP, np.int32)
+                    uc = np.zeros(UPDATE_CAP, np.int32)
+                    us = np.full(UPDATE_CAP, reg.H, np.int32)
+                    uv = np.zeros(UPDATE_CAP, np.int32)
+                    for j, (idx, aa, bb, dc) in enumerate(chunk):
+                        ui[j] = idx
+                        ua[j] = aa
+                        ub[j] = bb
+                        uc[j] = dc
+                    # slots that changed this round (new inserts only)
+                    snew = [
+                        (s, reg.slots[s])
+                        for s in self._touched_slots
+                    ]
+                    for j, (s, v) in enumerate(snew[:UPDATE_CAP]):
+                        us[j] = s
+                        uv[j] = v
+                    self._touched_slots = []
+                    d_reg_a, d_reg_b, d_count, d_slots = update_jit(
+                        d_reg_a,
+                        d_reg_b,
+                        d_count,
+                        d_slots,
+                        jnp.asarray(ui),
+                        jnp.asarray(ua),
+                        jnp.asarray(ub),
+                        jnp.asarray(uc),
+                        jnp.asarray(us),
+                        jnp.asarray(uv),
+                    )
+
+        # ---- finalize ----------------------------------------------------
+        model.vocab = dict(word_to_id)
+        model.vocab_r = {v: k for k, v in model.vocab.items()}
+        model.merges = {p: (i, nid) for i, (p, nid) in enumerate(merges)}
+        model.merges_list = [
+            (id_to_word[p[0]], id_to_word[p[1]]) for p, _ in merges
+        ]
+        model.continuing_subword_prefix = cfg.continuing_subword_prefix
+        model.end_of_word_suffix = cfg.end_of_word_suffix
+        if model.cache is not None:
+            model.cache.clear()
+        return list(cfg.special_tokens)
+
+    def _register(self, reg: PairRegistry, a: int, b: int, delta: int):
+        """Host registry upsert; returns (idx, a, b, delta) for the device
+        scatter.  New-token pairs are usually fresh, but when the minted token
+        string collides with an existing token id the pair may already exist."""
+        key = (a, b)
+        idx = reg.index.get(key)
+        if idx is None:
+            idx = self._insert_tracking(reg, a, b, 0)
+        return (idx, a, b, delta)
+
+    def _insert_tracking(self, reg: PairRegistry, a: int, b: int, c: int) -> int:
+        idx = reg.n
+        if idx >= reg.p_cap:
+            raise RuntimeError("registry capacity exceeded")
+        reg.reg_a[idx] = a
+        reg.reg_b[idx] = b
+        reg.count[idx] = c
+        reg.index[(a, b)] = idx
+        h = int(_hash_pair(np.int32(a), np.int32(b), reg.H - 1))
+        for probe in range(MAXPROBE):
+            s = (h + probe) & (reg.H - 1)
+            if reg.slots[s] < 0:
+                reg.slots[s] = idx
+                self._touched_slots.append(s)
+                break
+        else:
+            raise RuntimeError("probe length exceeded")
+        reg.n += 1
+        return idx
+
+
+def _make_update_fn():
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def update(reg_a, reg_b, count, slots, ui, ua, ub, uc, us, uv):
+        p_cap = reg_a.shape[0]
+        H = slots.shape[0]
+        reg_a = jnp.concatenate([reg_a, jnp.full((1,), -1, jnp.int32)])
+        reg_b = jnp.concatenate([reg_b, jnp.full((1,), -1, jnp.int32)])
+        count = jnp.concatenate([count, jnp.zeros((1,), jnp.int32)])
+        slots = jnp.concatenate([slots, jnp.full((1,), -1, jnp.int32)])
+        reg_a = reg_a.at[ui].set(ua, mode="drop")[:p_cap]
+        reg_b = reg_b.at[ui].set(ub, mode="drop")[:p_cap]
+        count = count.at[ui].add(uc, mode="drop")[:p_cap]
+        slots = slots.at[us].set(uv, mode="drop")[:H]
+        return reg_a, reg_b, count, slots
+
+    return update
