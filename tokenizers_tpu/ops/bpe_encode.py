@@ -260,7 +260,9 @@ def _merge_loop_impl(ids0, nxt0, prv0, alive0, seg_start, lookup):
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("with_word_ids",))
+@functools.partial(
+    jax.jit, static_argnames=("with_word_ids", "boundary", "whole_word")
+)
 def encode_program(
     bytes_u8,
     lengths,
@@ -273,10 +275,23 @@ def encode_program(
     new_id,
     seed,
     with_word_ids=False,
+    boundary="gpt2",
+    whole_word=False,
+    ww_key_a=None,
+    ww_key_b=None,
+    ww_len=None,
+    ww_id=None,
+    ww_seed=0,
 ):
     """uint8[B,L] bytes + int32[B] lengths -> (ids int32[B,L], ntok int32[B]).
 
     Token ids are left-packed per row; positions >= ntok[i] are -1.
+
+    `boundary` selects the pre-split rule set ("gpt2" or "llama3").
+    `whole_word` enables the BPE `ignore_merges` bypass (reference
+    `models/bpe/model.rs:475-497`): words whose double rolling hash hits the
+    vocab word table emit their vocab id directly and skip the merge loop
+    (ww_* arrays: cuckoo tables keyed on (h1, h2) -> (byte_len, id)).
     """
     B, L = bytes_u8.shape
     b = bytes_u8.astype(jnp.int32)
@@ -284,7 +299,12 @@ def encode_program(
     inb = pos < lengths[:, None]
     b = jnp.where(inb, b, 0)
 
-    bnd, _ = gpt2_boundaries(b, inb, stage1, stage2)
+    if boundary == "gpt2":
+        bnd, _ = gpt2_boundaries(b, inb, stage1, stage2)
+    else:
+        from .llama3_presplit import llama3_boundaries
+
+        bnd, _ = llama3_boundaries(b, inb, stage1, stage2)
 
     word_id = jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1
     seg_start = bnd  # contiguous byte ranges per word
@@ -295,6 +315,56 @@ def encode_program(
     nxt0 = jnp.where(inb & nxt_ok, pos + 1, L)
     prv_ok = ~bnd  # first byte of word has no intra-word predecessor
     prv0 = jnp.where(inb & prv_ok & (pos > 0), pos - 1, L)
+    alive_in = inb
+
+    if whole_word:
+        # double rolling hash per word (segmented affine scans)
+        def word_hash(mult):
+            def op(x, y):
+                (a1, c1, f1), (a2, c2, f2) = x, y
+                a = jnp.where(f2, a2, a1 * a2)
+                c = jnp.where(f2, c2, c1 * a2 + c2)
+                return a, c, f1 | f2
+
+            a0 = jnp.full((B, L), np.uint32(mult))
+            c0 = (b + 1).astype(jnp.uint32)
+            _, h, _ = jax.lax.associative_scan(op, (a0, c0, bnd), axis=1)
+            return h
+
+        h1 = word_hash(0x01000193)
+        h2 = word_hash(0x0000C597)
+        # last byte of each word: position before the next boundary
+        BIG = np.int32(0x7FFFFFFF)
+        nbp = jax.lax.cummin(
+            jnp.where(bnd, pos, BIG), axis=1, reverse=True
+        )
+        nxt_bnd = _shift_next(nbp, BIG)
+        end_pos = jnp.minimum(nxt_bnd, lengths[:, None]) - 1
+        end_cl = jnp.clip(end_pos, 0, L - 1)
+        wh1 = jnp.take_along_axis(h1, end_cl, axis=1).astype(jnp.int32)
+        wh2 = jnp.take_along_axis(h2, end_cl, axis=1).astype(jnp.int32)
+        wlen = end_pos - pos + 1
+        wwmask = ww_key_a.shape[1] - 1
+        g0 = hash_jnp(wh1, wh2, ww_seed, wwmask, 0)
+        g1 = hash_jnp(wh1, wh2, ww_seed, wwmask, 1)
+        hit0 = (ww_key_a[0][g0] == wh1) & (ww_key_b[0][g0] == wh2)
+        hit1 = (ww_key_a[1][g1] == wh1) & (ww_key_b[1][g1] == wh2)
+        stored_len = jnp.where(hit0, ww_len[0][g0], ww_len[1][g1])
+        stored_id = jnp.where(hit0, ww_id[0][g0], ww_id[1][g1])
+        ww_hit = bnd & (hit0 | hit1) & (stored_len == wlen) & (wlen > 1)
+        # word head takes the vocab id; the rest of the word dies.
+        # forward-fill the hit flag across the word's bytes:
+        f = jnp.where(bnd, ww_hit.astype(jnp.int32), -1)
+
+        def op_fill(x, y):
+            (v1,), (v2,) = x, y
+            return (jnp.where(v2 >= 0, v2, v1),)
+
+        (filled,) = jax.lax.associative_scan(op_fill, (f,), axis=1)
+        word_is_hit = (filled == 1) & inb
+        ids0 = jnp.where(bnd & ww_hit, stored_id, ids0)
+        alive_in = inb & (~word_is_hit | bnd)
+        nxt0 = jnp.where(bnd & ww_hit, L, nxt0)
 
     pad_col = lambda x, v: jnp.concatenate(
         [x, jnp.full((B, 1), v, x.dtype)], axis=1
@@ -302,7 +372,7 @@ def encode_program(
     ids0 = pad_col(ids0, -1)
     nxt0 = pad_col(nxt0, L)
     prv0 = pad_col(prv0, L)
-    alive0 = pad_col(inb, False)
+    alive0 = pad_col(alive_in, False)
     seg_startp = pad_col(seg_start, True)
 
     tables = (key_a, key_b, rank, new_id)

@@ -1,21 +1,25 @@
-"""ByteLevelBpeEngine: the compiled TPU path for GPT-2-style pipelines.
+"""ByteLevelBpeEngine: the compiled TPU path for byte-level BPE pipelines.
 
-Dispatched from `Tokenizer.encode_batch_fast` (see `ops/engine.py`) when the
-pipeline is exactly: no normalizer + ByteLevel pre-tokenizer (regex split) +
-BPE model (no dropout / prefix / suffix / byte-fallback / ignore-merges) +
-ByteLevel-or-no post-processor.  This covers the reference's flagship
-benchmark config (gpt2; `tokenizers/benches/bpe_benchmark.rs`).
+Dispatched from `Tokenizer.encode_batch_fast` (see `ops/engine.py`) for the
+two flagship pipeline shapes:
+
+  * **gpt2**: no normalizer + ByteLevel pre-tokenizer (GPT-2 regex split) +
+    plain BPE — the reference's headline benchmark config
+    (`tokenizers/benches/bpe_benchmark.rs`).
+  * **llama3**: Split(llama-3 pattern) + ByteLevel(no prefix space, no
+    regex) + BPE with `ignore_merges` (whole-word vocab bypass,
+    `models/bpe/model.rs:475-497`), as in `benches/llama3_benchmark.rs`.
 
 Two surfaces:
   * `encode_batch`  -> list[Encoding], bit-exact with the host path (and
-    therefore with the reference Rust implementation).
-  * `encode_batch_arrays` -> (ids int32[B, T], n_tokens int32[B]) as device
-    arrays — the TPU-native serving API: token ids stay on device, ready to
-    feed a model without a host round-trip.
+    therefore with the reference Rust implementation); post-processing
+    (templates, truncation, padding) applies host-side per encoding.
+  * `encode_batch_arrays` -> device-resident (ids, n_tokens) arrays — the
+    TPU-native serving API: token ids never leave the device.
 
-Inputs containing added/special tokens (e.g. "<|endoftext|>") are routed to
-the host path per string, preserving batch order (reference semantics:
-`added_vocabulary.rs:455` extracts them before the model runs).
+Inputs containing added/special tokens are routed to the host path per
+string, preserving batch order (reference `added_vocabulary.rs:455`
+extracts them before the model runs).
 """
 
 from __future__ import annotations
@@ -32,11 +36,35 @@ from .merge_table import CuckooMergeTable
 from .packing import MAX_L, pack_batch
 from .unicode_tables import char_class_tables
 
+LLAMA3_PATTERN = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}|"
+    r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+
+_H1 = 0x01000193
+_H2 = 0x0000C597
+
+
+def _roll_hash(data: bytes, mult: int) -> int:
+    h = 0
+    for byte in data:
+        h = (h * mult + byte + 1) & 0xFFFFFFFF
+    return np.int32(np.uint32(h))
+
 
 class ByteLevelBpeEngine:
-    def __init__(self, tokenizer, byte2id: np.ndarray, table: CuckooMergeTable):
+    def __init__(
+        self,
+        tokenizer,
+        byte2id: np.ndarray,
+        table: CuckooMergeTable,
+        boundary: str,
+        add_prefix_space: bool,
+        ww_table: Optional[CuckooMergeTable] = None,
+    ):
         self.tokenizer = tokenizer
-        self.add_prefix_space = tokenizer.pre_tokenizer.add_prefix_space
+        self.boundary = boundary
+        self.add_prefix_space = add_prefix_space
         stage1, stage2 = char_class_tables()
         # device-resident constants (replicated per chip)
         self.d_byte2id = jnp.asarray(byte2id)
@@ -47,18 +75,30 @@ class ByteLevelBpeEngine:
         self.d_rank = jnp.asarray(table.rank)
         self.d_new_id = jnp.asarray(table.new_id)
         self.seed = jnp.int32(table.seed)
+        if ww_table is not None:
+            self.whole_word = True
+            self.d_ww = dict(
+                ww_key_a=jnp.asarray(ww_table.key_a),
+                ww_key_b=jnp.asarray(ww_table.key_b),
+                ww_len=jnp.asarray(ww_table.rank),
+                ww_id=jnp.asarray(ww_table.new_id),
+                ww_seed=jnp.int32(ww_table.seed),
+            )
+        else:
+            self.whole_word = False
+            self.d_ww = dict(
+                ww_key_a=None, ww_key_b=None, ww_len=None, ww_id=None
+            )
 
     # ------------------------------------------------------------------ build
 
     @staticmethod
     def try_build(tokenizer) -> Optional["ByteLevelBpeEngine"]:
         from ..models.bpe import BPE
+        from ..pre_tokenizers import Sequence, Split
         from ..pre_tokenizers.byte_level import BYTES_CHAR, ByteLevel
 
         if tokenizer.normalizer is not None:
-            return None
-        pt = tokenizer.pre_tokenizer
-        if not isinstance(pt, ByteLevel) or not pt.use_regex:
             return None
         m = tokenizer.model
         if not isinstance(m, BPE):
@@ -67,22 +107,70 @@ class ByteLevelBpeEngine:
             return None
         if m.continuing_subword_prefix or m.end_of_word_suffix:
             return None
-        if m.byte_fallback or m.ignore_merges:
+        if m.byte_fallback:
             return None
-        pp = tokenizer.post_processor
-        if pp is not None and not isinstance(pp, ByteLevel):
-            return None
-        if tokenizer.truncation is not None:
+
+        pt = tokenizer.pre_tokenizer
+        boundary = None
+        add_prefix_space = False
+        if isinstance(pt, ByteLevel) and pt.use_regex:
+            boundary = "gpt2"
+            add_prefix_space = pt.add_prefix_space
+        elif (
+            isinstance(pt, Sequence)
+            and len(pt.pretokenizers) == 2
+            and isinstance(pt.pretokenizers[0], Split)
+            and isinstance(pt.pretokenizers[1], ByteLevel)
+        ):
+            sp, bl = pt.pretokenizers
+            if (
+                getattr(sp, "pattern_str", None) == LLAMA3_PATTERN
+                and sp.behavior == "isolated"
+                and not getattr(sp, "invert", False)
+                and not bl.use_regex
+            ):
+                boundary = "llama3"
+                add_prefix_space = bl.add_prefix_space
+        if boundary is None:
             return None
 
         byte2id = np.zeros(256, dtype=np.int32)
-        for b in range(256):
-            id = m.vocab.get(BYTES_CHAR[b])
+        for bb in range(256):
+            id = m.vocab.get(BYTES_CHAR[bb])
             if id is None:
                 return None  # incomplete byte alphabet: host path handles unk
-            byte2id[b] = id
+            byte2id[bb] = id
+
         table = CuckooMergeTable(m.merges)
-        return ByteLevelBpeEngine(tokenizer, byte2id, table)
+
+        ww_table = None
+        if m.ignore_merges:
+            from ..pre_tokenizers.byte_level import CHAR_BYTES
+
+            entries = {}
+            for tok_str, tid in m.vocab.items():
+                bs = bytearray()
+                ok = True
+                for c in tok_str:
+                    bb = CHAR_BYTES.get(c)
+                    if bb is None:
+                        ok = False
+                        break
+                    bs.append(bb)
+                if not ok or len(bs) < 2:
+                    continue
+                key = (
+                    int(_roll_hash(bytes(bs), _H1)),
+                    int(_roll_hash(bytes(bs), _H2)),
+                )
+                if key in entries:
+                    return None  # hash collision in vocab: bail to host path
+                entries[key] = (len(bs), tid)
+            ww_table = CuckooMergeTable(entries)
+
+        return ByteLevelBpeEngine(
+            tokenizer, byte2id, table, boundary, add_prefix_space, ww_table
+        )
 
     # ----------------------------------------------------------------- encode
 
@@ -91,22 +179,27 @@ class ByteLevelBpeEngine:
             s = " " + s
         return s.encode("utf-8")
 
+    def _program_args(self):
+        return dict(
+            byte2id=self.d_byte2id,
+            stage1=self.d_stage1,
+            stage2=self.d_stage2,
+            key_a=self.d_key_a,
+            key_b=self.d_key_b,
+            rank=self.d_rank,
+            new_id=self.d_new_id,
+            seed=self.seed,
+            boundary=self.boundary,
+            whole_word=self.whole_word,
+            **self.d_ww,
+        )
+
     def _run_device(self, byte_strings: List[bytes]):
         """Returns per-input list of np.int32 id arrays."""
         results: List[Optional[np.ndarray]] = [None] * len(byte_strings)
+        kwargs = self._program_args()
         for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok = encode_program(
-                buf,
-                lengths,
-                self.d_byte2id,
-                self.d_stage1,
-                self.d_stage2,
-                self.d_key_a,
-                self.d_key_b,
-                self.d_rank,
-                self.d_new_id,
-                self.seed,
-            )
+            ids, ntok = encode_program(buf, lengths, **kwargs)
             ids = np.asarray(ids)
             ntok = np.asarray(ntok)
             for r, i in enumerate(orig):
@@ -144,23 +237,13 @@ class ByteLevelBpeEngine:
         return encodings
 
     def encode_batch_arrays(self, inputs: List[str]):
-        """TPU-native batch encode: returns list of (ids, ntok) device-array
-        pairs, one per packed chunk, plus the index mapping. No host
+        """TPU-native batch encode: returns list of (ids, ntok, orig_indices)
+        per packed chunk, ids/ntok as device arrays.  No host
         materialization; callers feeding a model keep everything on device."""
         byte_strings = [self._prepare(s) for s in inputs]
+        kwargs = self._program_args()
         out = []
         for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok = encode_program(
-                buf,
-                lengths,
-                self.d_byte2id,
-                self.d_stage1,
-                self.d_stage2,
-                self.d_key_a,
-                self.d_key_b,
-                self.d_rank,
-                self.d_new_id,
-                self.seed,
-            )
+            ids, ntok = encode_program(buf, lengths, **kwargs)
             out.append((ids, ntok, orig))
         return out
