@@ -177,6 +177,10 @@ def gpt2_boundaries(b, inb, stage1, stage2):
 # --------------------------------------------------------------------------
 # Stage 3: the merge loop
 # --------------------------------------------------------------------------
+# The hot loop lives in bpe_merge2.py (gather-minimal formulation).  The
+# segmented-min and chain-parity helpers below are shared with the
+# distributed trainer (`bpe_train_step.py`), which still uses the
+# linked-list formulation (one selected pair per round).
 
 
 def _seg_min(r, seg_start):
@@ -216,45 +220,6 @@ def _chain_parity(f, transparent):
     return scanned[..., 0]
 
 
-def _merge_loop_impl(ids0, nxt0, prv0, alive0, seg_start, lookup):
-    """Run merge rounds until no word has a mergeable pair.
-
-    Arrays are [B, L+1]; column L is a sentinel (dead, id -1, self-linked).
-    `lookup(ids, next_ids, valid) -> (rank, new_id)` with rank INF on miss.
-    """
-    B, LP = ids0.shape
-    L = LP - 1
-
-    def take(x, idx):
-        return jnp.take_along_axis(x, idx, axis=1)
-
-    def cond(state):
-        _, _, _, _, any_merge = state
-        return any_merge
-
-    def body(state):
-        ids, nxt, prv, alive, _ = state
-        nid = take(ids, nxt)
-        valid = alive & (nxt < L)
-        r, new_id = lookup(ids, nid, valid)
-        wmin = _seg_min(r, seg_start)
-        f = valid & (r < INF) & (r == wmin)
-        parity = _chain_parity(f, ~alive)
-        merge = f & (parity == 1)
-
-        ids = jnp.where(merge, new_id, ids)
-        kill = take(merge, prv)
-        alive = alive & ~kill
-        nxt = jnp.where(merge, take(nxt, nxt), nxt)
-        kp = take(kill, prv)
-        prv = jnp.where(kp, take(prv, prv), prv)
-        return ids, nxt, prv, alive, jnp.any(merge)
-
-    init = (ids0, nxt0, prv0, alive0, jnp.array(True))
-    ids, nxt, prv, alive, _ = jax.lax.while_loop(cond, body, init)
-    return ids, alive
-
-
 # --------------------------------------------------------------------------
 # Full program
 # --------------------------------------------------------------------------
@@ -269,30 +234,33 @@ def encode_program(
     byte2id,
     stage1,
     stage2,
-    key_a,
-    key_b,
-    rank,
-    new_id,
+    merge_rows0,
+    merge_rows1,
     seed,
     with_word_ids=False,
     boundary="gpt2",
     whole_word=False,
-    ww_key_a=None,
-    ww_key_b=None,
-    ww_len=None,
-    ww_id=None,
+    ww_rows0=None,
+    ww_rows1=None,
     ww_seed=0,
 ):
-    """uint8[B,L] bytes + int32[B] lengths -> (ids int32[B,L], ntok int32[B]).
+    """uint8[B,L] bytes + int32[B] lengths
+    -> (ids int32[B, L//2], ntok int32[B], row_bad bool[B]).
 
-    Token ids are left-packed per row; positions >= ntok[i] are -1.
+    Token ids are left-packed per row; positions >= ntok[i] are -1.  Rows
+    with row_bad set (word longer than WORD_CAP bytes, or token count
+    exceeding L//2 — unmergeable input) must be re-encoded on the host.
+
+    merge_rows*/ww_rows*: cuckoo tables as [S, 4] rows (key_a, key_b,
+    value0, value1); see bpe_merge2.py / merge_table.py.
 
     `boundary` selects the pre-split rule set ("gpt2" or "llama3").
     `whole_word` enables the BPE `ignore_merges` bypass (reference
     `models/bpe/model.rs:475-497`): words whose double rolling hash hits the
-    vocab word table emit their vocab id directly and skip the merge loop
-    (ww_* arrays: cuckoo tables keyed on (h1, h2) -> (byte_len, id)).
+    vocab word table emit their vocab id directly and skip the merge loop.
     """
+    from .bpe_merge2 import WORD_CAP, compact, run_merge_phases
+
     B, L = bytes_u8.shape
     b = bytes_u8.astype(jnp.int32)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
@@ -306,16 +274,16 @@ def encode_program(
 
         bnd, _ = llama3_boundaries(b, inb, stage1, stage2)
 
-    word_id = jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1
-    seg_start = bnd  # contiguous byte ranges per word
+    word_id = jnp.where(inb, jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1, -1)
+
+    # word-length guard (fill depth in the merge loop is bounded by WORD_CAP)
+    BIGP = jnp.int32(0x7FFFFFFF)
+    nbp = jax.lax.cummin(jnp.where(bnd, pos, BIGP), axis=1, reverse=True)
+    nxt_bnd = _shift_next(nbp, BIGP)
+    wlen = jnp.minimum(nxt_bnd, lengths[:, None]) - pos  # at word heads
+    row_bad = jnp.any(bnd & (wlen > WORD_CAP), axis=1)
 
     ids0 = jnp.where(inb, byte2id[b], -1)
-
-    nxt_ok = _shift_next(inb, False) & ~_shift_next(bnd, False)
-    nxt0 = jnp.where(inb & nxt_ok, pos + 1, L)
-    prv_ok = ~bnd  # first byte of word has no intra-word predecessor
-    prv0 = jnp.where(inb & prv_ok & (pos > 0), pos - 1, L)
-    alive_in = inb
 
     if whole_word:
         # double rolling hash per word (segmented affine scans)
@@ -333,27 +301,22 @@ def encode_program(
 
         h1 = word_hash(0x01000193)
         h2 = word_hash(0x0000C597)
-        # last byte of each word: position before the next boundary
-        BIG = np.int32(0x7FFFFFFF)
-        nbp = jax.lax.cummin(
-            jnp.where(bnd, pos, BIG), axis=1, reverse=True
-        )
-        nxt_bnd = _shift_next(nbp, BIG)
         end_pos = jnp.minimum(nxt_bnd, lengths[:, None]) - 1
         end_cl = jnp.clip(end_pos, 0, L - 1)
         wh1 = jnp.take_along_axis(h1, end_cl, axis=1).astype(jnp.int32)
         wh2 = jnp.take_along_axis(h2, end_cl, axis=1).astype(jnp.int32)
-        wlen = end_pos - pos + 1
-        wwmask = ww_key_a.shape[1] - 1
+        wlen_b = end_pos - pos + 1
+        wwmask = ww_rows0.shape[0] - 1
         g0 = hash_jnp(wh1, wh2, ww_seed, wwmask, 0)
         g1 = hash_jnp(wh1, wh2, ww_seed, wwmask, 1)
-        hit0 = (ww_key_a[0][g0] == wh1) & (ww_key_b[0][g0] == wh2)
-        hit1 = (ww_key_a[1][g1] == wh1) & (ww_key_b[1][g1] == wh2)
-        stored_len = jnp.where(hit0, ww_len[0][g0], ww_len[1][g1])
-        stored_id = jnp.where(hit0, ww_id[0][g0], ww_id[1][g1])
-        ww_hit = bnd & (hit0 | hit1) & (stored_len == wlen) & (wlen > 1)
+        w0 = ww_rows0[g0]
+        w1 = ww_rows1[g1]
+        hit0 = (w0[..., 0] == wh1) & (w0[..., 1] == wh2)
+        hit1 = (w1[..., 0] == wh1) & (w1[..., 1] == wh2)
+        stored_len = jnp.where(hit0, w0[..., 2], w1[..., 2])
+        stored_id = jnp.where(hit0, w0[..., 3], w1[..., 3])
+        ww_hit = bnd & (hit0 | hit1) & (stored_len == wlen_b) & (wlen_b > 1)
         # word head takes the vocab id; the rest of the word dies.
-        # forward-fill the hit flag across the word's bytes:
         f = jnp.where(bnd, ww_hit.astype(jnp.int32), -1)
 
         def op_fill(x, y):
@@ -363,44 +326,24 @@ def encode_program(
         (filled,) = jax.lax.associative_scan(op_fill, (f,), axis=1)
         word_is_hit = (filled == 1) & inb
         ids0 = jnp.where(bnd & ww_hit, stored_id, ids0)
-        alive_in = inb & (~word_is_hit | bnd)
-        nxt0 = jnp.where(bnd & ww_hit, L, nxt0)
+        ids0 = jnp.where(word_is_hit & ~bnd, -1, ids0)
 
-    pad_col = lambda x, v: jnp.concatenate(
-        [x, jnp.full((B, 1), v, x.dtype)], axis=1
+    ids, wid2, bad2 = run_merge_phases(
+        ids0, word_id, merge_rows0, merge_rows1, seed
     )
-    ids0 = pad_col(ids0, -1)
-    nxt0 = pad_col(nxt0, L)
-    prv0 = pad_col(prv0, L)
-    alive0 = pad_col(alive_in, False)
-    seg_startp = pad_col(seg_start, True)
+    row_bad = row_bad | bad2
 
-    tables = (key_a, key_b, rank, new_id)
-    ka, kb, rk, nw = tables
-    mask = ka.shape[1] - 1
-
-    def lookup(a, bb, valid):
-        h0 = hash_jnp(a, bb, seed, mask, 0)
-        h1 = hash_jnp(a, bb, seed, mask, 1)
-        hit0 = (ka[0][h0] == a) & (kb[0][h0] == bb)
-        hit1 = (ka[1][h1] == a) & (kb[1][h1] == bb)
-        r = jnp.where(hit0, rk[0][h0], jnp.where(hit1, rk[1][h1], INF))
-        n = jnp.where(hit0, nw[0][h0], nw[1][h1])
-        return jnp.where(valid, r, INF), n
-
-    ids, alive = _merge_loop_impl(ids0, nxt0, prv0, alive0, seg_startp, lookup)
-
-    aliveL = alive[:, :L]
-    idsL = ids[:, :L]
-    k = jnp.cumsum(aliveL.astype(jnp.int32), axis=1) - 1
-    ntok = jnp.where(aliveL, k + 1, 0).max(axis=1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
-    scatter_idx = jnp.where(aliveL, k, L)
-    out = jnp.full((B, L + 1), -1, jnp.int32)
-    out = out.at[rows, scatter_idx].set(idsL)
-    result = (out[:, :L], ntok)
+    out_w = ids.shape[1]
+    alive = ids >= 0
+    k = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
+    ntok = jnp.where(alive, k + 1, 0).max(axis=1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0)
+    scatter_idx = jnp.where(alive, k, out_w)
+    out = jnp.full((B, out_w + 1), -1, jnp.int32)
+    out = out.at[rows, scatter_idx].set(ids)
+    result = (out[:, :out_w], ntok, row_bad)
     if with_word_ids:
-        wout = jnp.full((B, L + 1), -1, jnp.int32)
-        wout = wout.at[rows, scatter_idx].set(word_id)
-        result = result + (wout[:, :L],)
+        wout = jnp.full((B, out_w + 1), -1, jnp.int32)
+        wout = wout.at[rows, scatter_idx].set(wid2)
+        result = result + (wout[:, :out_w],)
     return result

@@ -70,25 +70,19 @@ class ByteLevelBpeEngine:
         self.d_byte2id = jnp.asarray(byte2id)
         self.d_stage1 = jnp.asarray(stage1)
         self.d_stage2 = jnp.asarray(stage2)
-        self.d_key_a = jnp.asarray(table.key_a)
-        self.d_key_b = jnp.asarray(table.key_b)
-        self.d_rank = jnp.asarray(table.rank)
-        self.d_new_id = jnp.asarray(table.new_id)
+        self.d_rows0 = jnp.asarray(table.rows(0))
+        self.d_rows1 = jnp.asarray(table.rows(1))
         self.seed = jnp.int32(table.seed)
         if ww_table is not None:
             self.whole_word = True
             self.d_ww = dict(
-                ww_key_a=jnp.asarray(ww_table.key_a),
-                ww_key_b=jnp.asarray(ww_table.key_b),
-                ww_len=jnp.asarray(ww_table.rank),
-                ww_id=jnp.asarray(ww_table.new_id),
+                ww_rows0=jnp.asarray(ww_table.rows(0)),
+                ww_rows1=jnp.asarray(ww_table.rows(1)),
                 ww_seed=jnp.int32(ww_table.seed),
             )
         else:
             self.whole_word = False
-            self.d_ww = dict(
-                ww_key_a=None, ww_key_b=None, ww_len=None, ww_id=None
-            )
+            self.d_ww = dict(ww_rows0=None, ww_rows1=None)
 
     # ------------------------------------------------------------------ build
 
@@ -184,10 +178,8 @@ class ByteLevelBpeEngine:
             byte2id=self.d_byte2id,
             stage1=self.d_stage1,
             stage2=self.d_stage2,
-            key_a=self.d_key_a,
-            key_b=self.d_key_b,
-            rank=self.d_rank,
-            new_id=self.d_new_id,
+            merge_rows0=self.d_rows0,
+            merge_rows1=self.d_rows1,
             seed=self.seed,
             boundary=self.boundary,
             whole_word=self.whole_word,
@@ -198,13 +190,18 @@ class ByteLevelBpeEngine:
         """Returns per-input list of np.int32 id arrays."""
         results: List[Optional[np.ndarray]] = [None] * len(byte_strings)
         kwargs = self._program_args()
+        bad: List[int] = []
         for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok = encode_program(buf, lengths, **kwargs)
+            ids, ntok, row_bad = encode_program(buf, lengths, **kwargs)
             ids = np.asarray(ids)
             ntok = np.asarray(ntok)
+            row_bad = np.asarray(row_bad)
             for r, i in enumerate(orig):
-                results[i] = ids[r, : ntok[r]]
-        return results
+                if row_bad[r]:
+                    bad.append(i)
+                else:
+                    results[i] = ids[r, : ntok[r]]
+        return results, bad
 
     def encode_batch(self, inputs: List[str], add_special_tokens: bool) -> List[Encoding]:
         added = list(self.tokenizer.added_vocabulary.added_tokens_map)
@@ -222,7 +219,10 @@ class ByteLevelBpeEngine:
                 byte_strings.append(self._prepare(s))
 
         if device_idx:
-            for i, ids in zip(device_idx, self._run_device(byte_strings)):
+            results, bad = self._run_device(byte_strings)
+            for i, ids in zip(device_idx, results):
+                if ids is None:
+                    continue
                 n = len(ids)
                 enc = Encoding(
                     ids=ids.tolist(),
@@ -234,6 +234,11 @@ class ByteLevelBpeEngine:
                 encodings[i] = self.tokenizer.post_process(
                     enc, None, add_special_tokens
                 )
+            for j in bad:  # long-word / unmergeable rows: host fallback
+                i = device_idx[j]
+                encodings[i] = self.tokenizer._encode(
+                    inputs[i], None, add_special_tokens, "none"
+                )
         return encodings
 
     def encode_batch_arrays(self, inputs: List[str]):
@@ -244,6 +249,6 @@ class ByteLevelBpeEngine:
         kwargs = self._program_args()
         out = []
         for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok = encode_program(buf, lengths, **kwargs)
+            ids, ntok, row_bad = encode_program(buf, lengths, **kwargs)
             out.append((ids, ntok, orig))
         return out

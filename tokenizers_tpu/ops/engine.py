@@ -3,6 +3,10 @@
 `build_device_engine(tokenizer)` inspects the pipeline and returns an engine
 object with `encode_batch(list[str], add_special_tokens) -> list[Encoding]`
 when every stage is device-compilable, else None (host path is used).
+
+Engines (tried in order):
+  * ByteLevelBpeEngine — gpt2 / llama-3 byte-level BPE (`bpe_engine.py`)
+  * WordPieceEngine    — BERT pipelines (`wordpiece_engine.py`)
 """
 
 from __future__ import annotations
@@ -13,6 +17,14 @@ def build_device_engine(tokenizer):
         from .bpe_engine import ByteLevelBpeEngine
 
         engine = ByteLevelBpeEngine.try_build(tokenizer)
+        if engine is not None:
+            return engine
+    except ImportError:
+        pass
+    try:
+        from .wordpiece_engine import WordPieceEngine
+
+        engine = WordPieceEngine.try_build(tokenizer)
         if engine is not None:
             return engine
     except ImportError:

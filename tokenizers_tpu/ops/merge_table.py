@@ -93,6 +93,14 @@ class CuckooMergeTable:
         self.new_id = new_id
         return True
 
+    def rows(self, t: int) -> np.ndarray:
+        """Table t as [S, 4] rows (key_a, key_b, value0, value1) — one
+        row-gather per probe on device instead of four scalar gathers."""
+        return np.stack(
+            [self.key_a[t], self.key_b[t], self.rank[t], self.new_id[t]],
+            axis=-1,
+        ).astype(np.int32)
+
     # ------------------------------------------------------------ host lookup
 
     def lookup_np(self, a: np.ndarray, b: np.ndarray):

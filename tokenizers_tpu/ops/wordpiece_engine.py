@@ -1,0 +1,210 @@
+"""WordPieceEngine: the compiled TPU path for BERT-style pipelines.
+
+Dispatched from `Tokenizer.encode_batch_fast` (see `ops/engine.py`) when the
+pipeline is BertNormalizer + BertPreTokenizer + WordPiece — the reference's
+second headline benchmark config (`tokenizers/benches/bert_benchmark.rs`).
+Post-processing ([CLS]/[SEP] templates, truncation, padding) applies
+host-side per encoding, as in the BPE engine.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..encoding import Encoding
+from .bert_tables import bert_class_tables, bert_normalizer_tables
+from .merge_table import CuckooMergeTable
+from .packing import MAX_L, pack_batch
+from .wordpiece_encode import (
+    CONT_MIX1,
+    CONT_MIX2,
+    H1_MULT,
+    H2_MULT,
+    wordpiece_program,
+)
+
+
+def _roll(data: bytes, mult: np.uint32) -> np.int32:
+    h = np.uint32(0)
+    with np.errstate(over="ignore"):
+        for byte in data:
+            h = h * mult + np.uint32(byte + 1)
+    return np.int32(h)
+
+
+class WordPieceEngine:
+    def __init__(self, tokenizer, model, norm_tables, cls_tables, vtab, max_len):
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self.max_word_chars = model.max_input_chars_per_word
+        self.unk_id = np.int32(model.vocab[model.unk_token])
+        s1, ob, ol = norm_tables
+        c1, c2 = cls_tables
+        self.d_norm_s1 = jnp.asarray(s1)
+        self.d_norm_ob = jnp.asarray(ob)
+        self.d_norm_ol = jnp.asarray(ol)
+        self.d_cls_s1 = jnp.asarray(c1)
+        self.d_cls_s2 = jnp.asarray(c2)
+        self.d_vkey_a = jnp.asarray(vtab.key_a)
+        self.d_vkey_b = jnp.asarray(vtab.key_b)
+        self.d_vlen = jnp.asarray(vtab.rank)
+        self.d_vid = jnp.asarray(vtab.new_id)
+        self.vseed = jnp.int32(vtab.seed)
+        with np.errstate(over="ignore"):
+            p1 = np.ones(max_len + 1, np.uint32)
+            p2 = np.ones(max_len + 1, np.uint32)
+            for i in range(1, max_len + 1):
+                p1[i] = p1[i - 1] * H1_MULT
+                p2[i] = p2[i - 1] * H2_MULT
+        self.d_pow1 = jnp.asarray(p1)
+        self.d_pow2 = jnp.asarray(p2)
+
+    # ------------------------------------------------------------------ build
+
+    @staticmethod
+    def try_build(tokenizer) -> Optional["WordPieceEngine"]:
+        from ..models.wordpiece import WordPiece
+        from ..normalizers import BertNormalizer
+        from ..pre_tokenizers import BertPreTokenizer
+
+        m = tokenizer.model
+        if not isinstance(m, WordPiece):
+            return None
+        if not isinstance(tokenizer.pre_tokenizer, BertPreTokenizer):
+            return None
+        nz = tokenizer.normalizer
+        if not isinstance(nz, BertNormalizer):
+            return None
+        if m.unk_token not in m.vocab:
+            return None
+
+        prefix = m.continuing_subword_prefix or ""
+        entries = {}
+        max_len = 1
+        for tok_str, tid in m.vocab.items():
+            cont = prefix and tok_str.startswith(prefix)
+            content = tok_str[len(prefix) :] if cont else tok_str
+            bs = content.encode("utf-8")
+            if not bs:
+                continue
+            k1 = int(_roll(bs, H1_MULT)) ^ (int(CONT_MIX1) if cont else 0)
+            k2 = int(_roll(bs, H2_MULT)) ^ (int(CONT_MIX2) if cont else 0)
+            k1 = int(np.int32(k1))
+            k2 = int(np.int32(k2))
+            if (k1, k2) in entries:
+                return None  # vocab hash collision: host path
+            entries[(k1, k2)] = (len(bs), tid)
+            max_len = max(max_len, len(bs))
+        if max_len > 128:
+            return None
+        vtab = CuckooMergeTable(entries)
+
+        norm_tables = bert_normalizer_tables(
+            nz.clean_text, nz.handle_chinese_chars, nz.strip_accents, nz.lowercase
+        )
+        cls_tables = bert_class_tables()
+        return WordPieceEngine(
+            tokenizer, m, norm_tables, cls_tables, vtab, max_len
+        )
+
+    # ----------------------------------------------------------------- encode
+
+    def _run_device(self, byte_strings: List[bytes]):
+        results: List[Optional[np.ndarray]] = [None] * len(byte_strings)
+        bad: List[int] = []
+        for buf, lengths, orig in pack_batch(byte_strings):
+            ids, ntok, row_bad = wordpiece_program(
+                buf,
+                lengths,
+                self.d_norm_s1,
+                self.d_norm_ob,
+                self.d_norm_ol,
+                self.d_cls_s1,
+                self.d_cls_s2,
+                self.d_vkey_a,
+                self.d_vkey_b,
+                self.d_vlen,
+                self.d_vid,
+                self.vseed,
+                self.d_pow1,
+                self.d_pow2,
+                self.unk_id,
+                max_len=self.max_len,
+                max_word_chars=self.max_word_chars,
+            )
+            ids = np.asarray(ids)
+            ntok = np.asarray(ntok)
+            row_bad = np.asarray(row_bad)
+            for r, i in enumerate(orig):
+                if row_bad[r]:
+                    bad.append(i)
+                else:
+                    results[i] = ids[r, : ntok[r]]
+        return results, bad
+
+    def encode_batch(self, inputs: List[str], add_special_tokens: bool) -> List[Encoding]:
+        added = list(self.tokenizer.added_vocabulary.added_tokens_map)
+        device_idx: List[int] = []
+        byte_strings: List[bytes] = []
+        encodings: List[Optional[Encoding]] = [None] * len(inputs)
+        for i, s in enumerate(inputs):
+            if any(t in s for t in added) or len(s) > MAX_L // 2:
+                encodings[i] = self.tokenizer._encode(
+                    s, None, add_special_tokens, "none"
+                )
+            else:
+                device_idx.append(i)
+                byte_strings.append(s.encode("utf-8"))
+
+        if device_idx:
+            results, bad = self._run_device(byte_strings)
+            for i, ids in zip(device_idx, results):
+                if ids is None:
+                    continue
+                n = len(ids)
+                enc = Encoding(
+                    ids=ids.tolist(),
+                    type_ids=[0] * n,
+                    tokens=[""] * n,
+                    words=[None] * n,
+                    offsets=[(0, 0)] * n,
+                )
+                encodings[i] = self.tokenizer.post_process(
+                    enc, None, add_special_tokens
+                )
+            for j in bad:  # normalization overflow: host fallback
+                i = device_idx[j]
+                encodings[i] = self.tokenizer._encode(
+                    inputs[i], None, add_special_tokens, "none"
+                )
+        return encodings
+
+    def encode_batch_arrays(self, inputs: List[str]):
+        byte_strings = [s.encode("utf-8") for s in inputs]
+        out = []
+        for buf, lengths, orig in pack_batch(byte_strings):
+            ids, ntok, row_bad = wordpiece_program(
+                buf,
+                lengths,
+                self.d_norm_s1,
+                self.d_norm_ob,
+                self.d_norm_ol,
+                self.d_cls_s1,
+                self.d_cls_s2,
+                self.d_vkey_a,
+                self.d_vkey_b,
+                self.d_vlen,
+                self.d_vid,
+                self.vseed,
+                self.d_pow1,
+                self.d_pow2,
+                self.unk_id,
+                max_len=self.max_len,
+                max_word_chars=self.max_word_chars,
+            )
+            out.append((ids, ntok, orig))
+        return out
