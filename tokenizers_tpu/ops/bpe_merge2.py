@@ -1,26 +1,28 @@
-"""Gather-minimal BPE merge rounds (the encode hot loop, v2).
+"""Gather-minimal BPE merge rounds (the encode hot loop).
 
-XLA:TPU lowers general gathers (`take_along_axis`, table lookups) far slower
-than elementwise/shift ops, so this version eliminates the linked-list
-pointer chasing of the naive formulation:
+XLA:TPU lowers general gathers (`take_along_axis`, table lookups) at a cost
+per *index*, hundreds of times an elementwise op, so the loop is built to
+touch as few gathered elements as possible:
 
   * adjacency is recovered each round with logarithmic *shift-fills*
-    (select + static shifts — no gathers): the id/word of the next alive
-    position, and the merge flag of the previous alive position;
-  * the merge-rank lookup packs each cuckoo table as rows `[S, 4] =
-    (key_a, key_b, rank, new_id)`, so one lookup costs two row-gathers
-    instead of eight scalar gathers;
-  * overlap parity within equal-pair chains is a segmented *sum* scan
-    ((int, reset-flag) monoid) instead of a function-composition scan;
-  * after a few rounds most tokens are dead, so the batch is *compacted*
-    to half width (one scatter) and later rounds run on the smaller tensor.
+    (select + static shifts — no gathers); after r rounds since the last
+    compaction the longest dead gap is < 2^r, so early rounds use shallow
+    fills;
+  * the merge-rank lookup caches (rank, new_id) per position across rounds
+    and each round refreshes only *stale* pairs (those whose tokens changed:
+    ~2 per merge), packed into a small [B, C] tensor — a full-width lookup
+    (two cuckoo [S,4] row-gathers) runs only when a round's stale count
+    overflows C (first rounds, post-compaction rounds);
+  * overlap parity within equal-pair chains is a segmented *sum* scan;
+  * the batch is compacted to half width once most tokens are dead, so late
+    rounds run on the smaller tensor.
 
 Words longer than WORD_CAP bytes would break the bounded fill depth; the
 boundary stage flags rows containing them (row_bad) for host fallback, as
 does compaction overflow (e.g. unmergeable binary input).
 
-Semantics are identical to the v1 linked-list loop: each round merges every
-occurrence of each word's minimum-rank pair, leftmost-first within
+Semantics are identical to the linked-list formulation: each round merges
+every occurrence of each word's minimum-rank pair, leftmost-first within
 overlapping runs — bit-equivalent to the reference's (rank, pos) heap order
 for well-formed tables (see bpe_encode.py module docstring).
 """
@@ -35,7 +37,7 @@ import jax.numpy as jnp
 from .merge_table import hash_jnp
 
 INF = np.int32(0x7FFFFFFF)
-WORD_CAP = 512  # max word length in bytes; K = 9 fill steps
+WORD_CAP = 512  # max word length in bytes; FILL_K = 9 covers its gaps
 FILL_K = 9
 
 
@@ -106,29 +108,40 @@ def _seg_count(add, reset):
     return out
 
 
-def merge_round(ids, wid, seg, rows0, rows1, seed):
-    """One merge round on (ids, wid); ids -1 = dead. Returns (ids, any_f)."""
-    alive = ids >= 0
-    (nid, nwid), nfnd = fill_next([ids, wid], alive)
-    valid = alive & nfnd & (nwid == wid)
-
+def lookup_pairs(a, b, rows0, rows1, seed):
+    """(rank, new_id) for pair arrays of any shape; rank INF on miss."""
     mask = rows0.shape[0] - 1
-    h0 = hash_jnp(ids, nid, seed, mask, 0)
-    h1 = hash_jnp(ids, nid, seed, mask, 1)
+    h0 = hash_jnp(a, b, seed, mask, 0)
+    h1 = hash_jnp(a, b, seed, mask, 1)
     r0 = rows0[h0]
     r1 = rows1[h1]
-    hit0 = (r0[..., 0] == ids) & (r0[..., 1] == nid)
-    hit1 = (r1[..., 0] == ids) & (r1[..., 1] == nid)
+    hit0 = (r0[..., 0] == a) & (r0[..., 1] == b)
+    hit1 = (r1[..., 0] == a) & (r1[..., 1] == b)
     r = jnp.where(hit0, r0[..., 2], jnp.where(hit1, r1[..., 2], INF))
+    nw = jnp.where(hit0, r0[..., 3], r1[..., 3])
+    return r, nw
+
+
+def merge_round(ids, wid, seg, rows0, rows1, seed, k_steps=FILL_K):
+    """One merge round on (ids, wid); ids -1 = dead. Returns (ids, any_f).
+
+    (A cached-rank delta-refresh variant was tried and measured *slower* on
+    this backend — the extra loop state and lax.cond overhead exceeded the
+    saved gather elements — so every round does the full two-row-gather
+    lookup.)"""
+    alive = ids >= 0
+    (nid, nwid), nfnd = fill_next([ids, wid], alive, k_steps)
+    valid = alive & nfnd & (nwid == wid)
+
+    r, new_id = lookup_pairs(ids, nid, rows0, rows1, seed)
     r = jnp.where(valid, r, INF)
-    new_id = jnp.where(hit0, r0[..., 3], r1[..., 3])
 
     wmin = _seg_min(r, seg)
     f = valid & (r < INF) & (r == wmin)
     cnt = _seg_count(f, alive & ~f)
     merge = f & (cnt % 2 == 1)
 
-    (pm,), pfnd = fill_prev([merge.astype(jnp.int32)], alive)
+    (pm,), pfnd = fill_prev([merge.astype(jnp.int32)], alive, k_steps)
     kill = alive & pfnd & (pm == 1)
     ids = jnp.where(merge, new_id, ids)
     ids = jnp.where(kill, -1, ids)
@@ -153,45 +166,30 @@ def compact(ids, wid, w_new):
     return out_ids[:, :w_new], out_wid[:, :w_new], bad
 
 
-def run_merge_phases(ids, wid, rows0, rows1, seed, phase1_rounds=6, phase2_rounds=6):
-    """Full merge: fixed rounds at full width, compact to half, fixed rounds,
-    then loop to completion at half width. Returns (ids, wid, row_bad)."""
+def _seg_of(wid):
+    return wid != _shift_prev(wid, -2)
+
+
+def run_merge_phases(ids, wid, rows0, rows1, seed, phase1_rounds=6):
+    """Full merge to completion: fixed rounds at input width (growing fill
+    depths — round r's gaps are < 2^r), compact to half width, then loop
+    until no word has a mergeable pair. Returns (ids, wid, row_bad)."""
     B, W = ids.shape
 
-    def seg_of(wid):
-        return wid != _shift_prev(wid, -2)
-
-    seg = seg_of(wid)
-
-    def body_fixed(_, state):
-        ids, any_f = state
-        ids, af = merge_round(ids, wid, seg, rows0, rows1, seed)
-        return ids, af
-
-    ids, _ = jax.lax.fori_loop(
-        0, phase1_rounds, body_fixed, (ids, jnp.array(True))
-    )
+    seg = _seg_of(wid)
+    for r in range(phase1_rounds):
+        ids, _ = merge_round(ids, wid, seg, rows0, rows1, seed, k_steps=r + 1)
 
     w2 = max(W // 2, 64)
     ids, wid2, bad = compact(ids, wid, w2)
-    seg2 = seg_of(wid2)
-
-    def body2(_, state):
-        ids, any_f = state
-        ids, af = merge_round(ids, wid2, seg2, rows0, rows1, seed)
-        return ids, af
-
-    ids, _ = jax.lax.fori_loop(
-        0, phase2_rounds, body2, (ids, jnp.array(True))
-    )
+    seg2 = _seg_of(wid2)
 
     def cond(state):
         return state[1]
 
-    def body3(state):
+    def body(state):
         ids, _ = state
-        ids, af = merge_round(ids, wid2, seg2, rows0, rows1, seed)
-        return ids, af
+        return merge_round(ids, wid2, seg2, rows0, rows1, seed)
 
-    ids, _ = jax.lax.while_loop(cond, body3, (ids, jnp.array(True)))
+    ids, _ = jax.lax.while_loop(cond, body, (ids, jnp.array(True)))
     return ids, wid2, bad

@@ -7,6 +7,7 @@ when every stage is device-compilable, else None (host path is used).
 Engines (tried in order):
   * ByteLevelBpeEngine — gpt2 / llama-3 byte-level BPE (`bpe_engine.py`)
   * WordPieceEngine    — BERT pipelines (`wordpiece_engine.py`)
+  * UnigramEngine      — SentencePiece pipelines (`unigram_engine.py`)
 """
 
 from __future__ import annotations
@@ -25,6 +26,14 @@ def build_device_engine(tokenizer):
         from .wordpiece_engine import WordPieceEngine
 
         engine = WordPieceEngine.try_build(tokenizer)
+        if engine is not None:
+            return engine
+    except ImportError:
+        pass
+    try:
+        from .unigram_engine import UnigramEngine
+
+        engine = UnigramEngine.try_build(tokenizer)
         if engine is not None:
             return engine
     except ImportError:

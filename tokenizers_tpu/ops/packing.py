@@ -38,10 +38,15 @@ def pack_batch(
     buckets = {}
     for i, s in enumerate(byte_strings):
         L = bucket_length(len(s))
-        buckets.setdefault(L, []).append(i)
+        # secondary key: docs whose longest space-free run is short finish
+        # their merge loop in few rounds; grouping them separately keeps one
+        # long-word doc from holding a whole chunk's while-loop hostage.
+        # (space-free run length upper-bounds pre-split word length.)
+        longword = max((len(p) for p in s.split(b" ")), default=0) > 40
+        buckets.setdefault((L, longword), []).append(i)
 
     out = []
-    for L, idxs in sorted(buckets.items()):
+    for (L, _lw), idxs in sorted(buckets.items()):
         rows_per_chunk = max(1, POSITION_BUDGET // L)
         for c in range(0, len(idxs), rows_per_chunk):
             chunk = idxs[c : c + rows_per_chunk]

@@ -1,0 +1,339 @@
+"""TPU Unigram (SentencePiece) encode: Nmt + Metaspace + Viterbi DP.
+
+One jitted program over packed uint8[B, L] byte batches replacing the
+reference hot path (`models/unigram/model.rs:240-329` forward DP,
+`normalizers/unicode.rs:44-77` Nmt, `pre_tokenizers/metaspace.rs`):
+
+1.  **Normalize + Metaspace** (fused, per char): Nmt filters control chars
+    and maps whitespace-likes to space; `Replace(" {2,}" -> " ")` drops a
+    space whose previous surviving char is a space; Metaspace turns each
+    space into `▁` (3 bytes) and prepends one when the output doesn't start
+    with it.  One class-table gather + byte scatters into [B, L2].
+2.  **Pre-split**: every `▁` begins a word (MergedWithNext).
+3.  **Viterbi forward DP** as one `lax.scan` over the byte axis with a
+    sliding window of pending path candidates — the reference's exact
+    semantics: at each reached char boundary every matching piece (cuckoo
+    rolling-hash lookups, log-probs) extends the path; a later candidate
+    replaces only on *strictly greater* score (first-writer tie rule);
+    missing single chars fall back to `unk_id` at `min_score - 10.0`.
+4.  **Backtrack without gathers**: back-jumps are bounded by the max piece
+    byte length, so the token chain is resolved with shift-selects —
+    iterate token steps from each word-end boundary; consecutive unk
+    tokens fuse into one (`fuse_unk`).
+
+Scores are float32 on device (the reference uses f64); conformance fuzzing
+gates this — ties that flip under f32 would surface as test mismatches.
+Rows with words over the char cap are flagged for host fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .bpe_merge2 import _shift_next, _shift_prev, fill_prev
+from .merge_table import hash_jnp
+from .wordpiece_encode import H1_MULT, H2_MULT, _decode_chars
+
+NEG = np.float32(-1e30)
+MAX_TOKENS_PER_WORD = 64  # backtrack iterations; longer words -> host
+
+CLS_KEEP = 0
+CLS_SPACE = 1
+CLS_DELETE = 2
+
+_nmt_cache = None
+
+
+def nmt_metaspace_class_table():
+    """Per-codepoint class table for the fused Nmt + space pipeline."""
+    global _nmt_cache
+    if _nmt_cache is not None:
+        return _nmt_cache
+    from ..normalizers import Nmt
+
+    cls = np.zeros(0x110000, np.int8)
+    for cp in Nmt._FILTERED:
+        cls[cp] = CLS_DELETE
+    for cp in Nmt._TO_SPACE:
+        cls[cp] = CLS_SPACE
+    cls[0x20] = CLS_SPACE
+    pages = cls.reshape(-1, 256)
+    uniq, s1 = np.unique(pages, axis=0, return_inverse=True)
+    _nmt_cache = (s1.astype(np.int32), uniq.reshape(-1).astype(np.int8))
+    return _nmt_cache
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def unigram_program(
+    bytes_u8,
+    lengths,
+    cls_s1,
+    cls_s2,
+    vkey_a,
+    vkey_b,
+    vlen,
+    vid,
+    vscore,
+    vseed,
+    pow1,
+    pow2,
+    unk_id,
+    unk_score,
+    max_len,
+):
+    """-> (ids int32[B, OUT], ntok int32[B], row_bad bool[B])."""
+    B, L = bytes_u8.shape
+    L2 = L * 2 + 4
+    b = bytes_u8.astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    inb = pos < lengths[:, None]
+    b = jnp.where(inb, b, 0)
+
+    # ---- stage 1: Nmt + collapse + Metaspace -----------------------------
+    cp, is_start, charlen = _decode_chars(b, inb)
+    page = cls_s1[cp >> 8]
+    cls = jnp.where(
+        is_start, cls_s2[(page << 8) | (cp & 255)].astype(jnp.int32), CLS_DELETE
+    )
+    surv = is_start & (cls != CLS_DELETE)
+    (pcls,), pfnd = fill_prev([cls], surv, k_steps=max(1, (L - 1).bit_length()))
+    collapsed = (cls == CLS_SPACE) & pfnd & (pcls == CLS_SPACE)
+    cls = jnp.where(collapsed, CLS_DELETE, cls)
+
+    keep = is_start & (cls == CLS_KEEP)
+    space = is_start & (cls == CLS_SPACE)
+    out_len = jnp.where(keep, charlen, jnp.where(space, 3, 0))
+    first_pos = jnp.min(jnp.where(surv & ~collapsed, pos, L), axis=1)
+    first_cls = jnp.take_along_axis(
+        cls, jnp.clip(first_pos, 0, L - 1)[:, None], axis=1
+    )[:, 0]
+    prepend = (first_pos < L) & (first_cls != CLS_SPACE)
+    base = jnp.where(prepend, 3, 0)
+
+    opos = base[:, None] + jnp.cumsum(out_len, axis=1) - out_len
+    total = base + jnp.sum(out_len, axis=1)
+    row_bad = total > L2
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
+    JUNK = L2 + 3
+    nb = jnp.zeros((B, L2 + 4), jnp.uint8)
+    wbnd = jnp.zeros((B, L2 + 4), bool)  # word-start marks (each ▁)
+    META = (0xE2, 0x96, 0x81)
+    for k, v in enumerate(META):
+        nb = nb.at[:, k].set(jnp.where(prepend, np.uint8(v), nb[:, k]))
+    wbnd = wbnd.at[:, 0].max(prepend)
+    for k, v in enumerate(META):
+        tgt = jnp.where(space, opos + k, JUNK)
+        nb = nb.at[rows, tgt].set(jnp.where(space, np.uint8(v), 0), mode="drop")
+    wbnd = wbnd.at[rows, jnp.where(space, opos, JUNK)].max(space, mode="drop")
+    for k in range(4):
+        src = _shift_next(b, 0, k) if k else b
+        mask = keep & (k < charlen)
+        tgt = jnp.where(mask, opos + k, JUNK)
+        nb = nb.at[rows, tgt].set(
+            jnp.where(mask, src, 0).astype(jnp.uint8), mode="drop"
+        )
+    nb = nb[:, :L2].astype(jnp.int32)
+    wbnd = wbnd[:, :L2]
+    npos = jax.lax.broadcasted_iota(jnp.int32, (B, L2), 1)
+    ninb = npos < total[:, None]
+    nb = jnp.where(ninb, nb, 0)
+
+    # ---- stage 2: piece scores per (position, length) --------------------
+    _, nstart, nclen = _decode_chars(nb, ninb)
+
+    def prefix_hash(mult):
+        def op(x, y):
+            (a1, c1), (a2, c2) = x, y
+            return a1 * a2, c1 * a2 + c2
+
+        a0 = jnp.full((B, L2), mult)
+        c0 = (nb + 1).astype(jnp.uint32)
+        _, hh = jax.lax.associative_scan(op, (a0, c0), axis=1)
+        return jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), hh], axis=1)
+
+    E1 = prefix_hash(H1_MULT)
+    E2 = prefix_hash(H2_MULT)
+
+    BIGP = jnp.int32(0x7FFFFFFF)
+    nxt_b = jax.lax.cummin(jnp.where(wbnd, npos, BIGP), axis=1, reverse=True)
+    nxt_bnd = _shift_next(nxt_b, BIGP)
+    wend = jnp.minimum(nxt_bnd, total[:, None]) - 1  # last byte of word
+
+    vmask = vkey_a.shape[1] - 1
+    s_ok = ninb & nstart
+    costs = []
+    pids = []
+    for l in range(1, max_len + 1):
+        e = npos + l
+        valid = s_ok & ((e - 1) <= wend)
+        h1 = (
+            jnp.take_along_axis(E1, jnp.clip(e, 0, L2), axis=1)
+            - jnp.take_along_axis(E1, npos, axis=1) * pow1[l]
+        ).astype(jnp.int32)
+        h2 = (
+            jnp.take_along_axis(E2, jnp.clip(e, 0, L2), axis=1)
+            - jnp.take_along_axis(E2, npos, axis=1) * pow2[l]
+        ).astype(jnp.int32)
+        g0 = hash_jnp(h1, h2, vseed, vmask, 0)
+        g1 = hash_jnp(h1, h2, vseed, vmask, 1)
+        hit0 = (vkey_a[0][g0] == h1) & (vkey_b[0][g0] == h2)
+        hit1 = (vkey_a[1][g1] == h1) & (vkey_b[1][g1] == h2)
+        stored_l = jnp.where(hit0, vlen[0][g0], vlen[1][g1])
+        stored_id = jnp.where(hit0, vid[0][g0], vid[1][g1])
+        stored_sc = jnp.where(hit0, vscore[0][g0], vscore[1][g1])
+        hit = valid & (hit0 | hit1) & (stored_l == l)
+        costs.append(jnp.where(hit, stored_sc, NEG))
+        pids.append(jnp.where(hit, stored_id, -1))
+    cost = jnp.stack(costs, axis=-1)  # [B, L2, max_len]
+    pid = jnp.stack(pids, axis=-1)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 2) + 1
+    # unk fallback: exactly the char length, only when no piece of that
+    # length matched here (reference `has_single_node`)
+    has_single = jnp.any((lidx == nclen[..., None]) & (cost > NEG / 2), axis=-1)
+    unk_here = s_ok & ~has_single
+    unk_sel = unk_here[..., None] & (lidx == nclen[..., None])
+    cost = jnp.where(unk_sel, jnp.float32(unk_score), cost)
+    pid = jnp.where(unk_sel, unk_id, pid)
+
+    # ---- stage 3: forward DP (lax.scan over byte positions) --------------
+    # boundary q: nodes (score, piece-start, piece-id) of the best path
+    # ending at exclusive byte offset q.  Sliding window `pend[j]` holds the
+    # best candidate so far for boundary (q + j); processing order makes the
+    # reference's first-writer tie rule automatic (replace only on >).
+    cost_t = jnp.transpose(cost, (1, 0, 2))  # [L2, B, K]
+    pid_t = jnp.transpose(pid, (1, 0, 2))
+    bnd_t = jnp.transpose(wbnd, (1, 0))  # [L2, B]
+    pos_t = jax.lax.broadcasted_iota(jnp.int32, (L2, B), 0)
+
+    K = max_len
+
+    def step(carry, x):
+        pend_sc, pend_st, pend_id = carry  # [B, K]
+        cost_row, pid_row, bnd_row, q_row = x
+        # node emitted for boundary q (pieces ending here)
+        node = (pend_sc[:, 0], pend_st[:, 0], pend_id[:, 0])
+        # path score available at byte q for outgoing pieces
+        dp_here = jnp.where(bnd_row, jnp.float32(0), pend_sc[:, 0])
+        # shift window: slot j now corresponds to boundary q + 1 + j
+        sh_sc = jnp.concatenate([pend_sc[:, 1:], jnp.full((B, 1), NEG)], axis=1)
+        sh_st = jnp.concatenate(
+            [pend_st[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1
+        )
+        sh_id = jnp.concatenate(
+            [pend_id[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1
+        )
+        # push pieces starting at q: piece of length l lands in slot l-1
+        cand = dp_here[:, None] + cost_row
+        ok = (cost_row > NEG / 2) & (dp_here > NEG / 2)[:, None]
+        better = ok & (cand > sh_sc)
+        new_sc = jnp.where(better, cand, sh_sc)
+        new_st = jnp.where(better, q_row[:, None], sh_st)
+        new_id = jnp.where(better, pid_row, sh_id)
+        return (new_sc, new_st, new_id), node
+
+    init = (
+        jnp.full((B, K), NEG),
+        jnp.full((B, K), -1, jnp.int32),
+        jnp.full((B, K), -1, jnp.int32),
+    )
+    (fin_sc, fin_st, fin_id), outs = jax.lax.scan(
+        step, init, (cost_t, pid_t, bnd_t, pos_t)
+    )
+    # node arrays over boundaries 0..L2 (boundary q = bytes [0, q))
+    node_st = jnp.concatenate(
+        [jnp.transpose(outs[1], (1, 0)), fin_st[:, :1]], axis=1
+    )
+    node_id = jnp.concatenate(
+        [jnp.transpose(outs[2], (1, 0)), fin_id[:, :1]], axis=1
+    )
+
+    # word-size guard for the bounded backtrack
+    char_idx = jnp.cumsum(nstart.astype(jnp.int32), axis=1)
+    wchars = (
+        jnp.take_along_axis(char_idx, jnp.clip(wend, 0, L2 - 1), axis=1)
+        - char_idx
+        + 1
+    )
+    row_bad = row_bad | jnp.any(
+        wbnd & (wchars > MAX_TOKENS_PER_WORD), axis=1
+    )
+
+    # ---- stage 4: backtrack via bounded shift steps ----------------------
+    # boundary-space arrays [B, L2+1]; jump(q) = node_st[q] (<= K back).
+    jlen = jnp.where(node_st >= 0,
+                     jax.lax.broadcasted_iota(jnp.int32, (B, L2 + 1), 1) - node_st,
+                     0)  # piece byte length at boundary q (0 = none)
+    # seeds: every word-end boundary — i.e. every word-head boundary (the
+    # end of the previous word) plus each row's total. Per-word chains are
+    # then <= MAX_TOKENS_PER_WORD steps.
+    seed = jnp.concatenate([wbnd, jnp.zeros((B, 1), bool)], axis=1)
+    rowsB = jax.lax.broadcasted_iota(jnp.int32, (B, L2 + 1), 0)
+    seed = seed.at[jnp.arange(B), total].set(True)
+    def bt_body(_, st):
+        reach, front = st
+        # next front: boundary q - jlen[q] for q in front (jlen <= K;
+        # _shift_next(x, d)[i] = x[i+d], i.e. a mark at q lands at q-d)
+        nxt = jnp.zeros((B, L2 + 1), bool)
+        for d in range(1, K + 1):
+            m = front & (jlen == d)
+            nxt = nxt | _shift_next(m, False, d)
+        front = nxt & ~reach
+        return reach | front, front
+
+    reach, _ = jax.lax.fori_loop(
+        0, MAX_TOKENS_PER_WORD, bt_body, (seed, seed)
+    )
+
+    tok = reach & (node_st >= 0) & (jlen > 0)
+
+    # ---- fuse_unk --------------------------------------------------------
+    # previous token ends at boundary node_st[q]; same word iff node_st[q]
+    # is not this token's word head.  head byte of the word containing byte
+    # (q-1): forward-fill head positions over bytes.
+    hsrc = jnp.where(wbnd, npos, jnp.where(ninb, -3, -1))
+
+    def op_head(a, c):
+        (v1,), (v2,) = a, c
+        return (jnp.where(v2 == -3, v1, v2),)
+
+    (headb,) = jax.lax.associative_scan(op_head, (hsrc,), axis=1)
+    head_of = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), headb], axis=1
+    )  # head_of[q] = word head byte for boundary q (byte q-1's word)
+
+    prev_id = jnp.zeros((B, L2 + 1), jnp.int32) - 1
+    for d in range(1, K + 1):
+        m = tok & (jlen == d)
+        # id of token ending at q-d
+        prev_id = jnp.where(
+            m, _shift_prev(node_id, -1, d), prev_id
+        )
+    prev_is_tok = jnp.zeros((B, L2 + 1), bool)
+    for d in range(1, K + 1):
+        m = tok & (jlen == d)
+        prev_is_tok = prev_is_tok | (m & _shift_prev(tok, False, d))
+    first_of_word = tok & (node_st == head_of)
+    fused_away = (
+        tok
+        & (node_id == unk_id)
+        & ~first_of_word
+        & prev_is_tok
+        & (prev_id == unk_id)
+    )
+    emit = tok & ~fused_away
+
+    # ---- compact ---------------------------------------------------------
+    k = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+    ntok = jnp.where(emit, k + 1, 0).max(axis=1)
+    out_w = L2 // 2
+    scatter_idx = jnp.where(emit, jnp.minimum(k, out_w), out_w)
+    out = jnp.full((B, out_w + 1), -1, jnp.int32)
+    out = out.at[rowsB, scatter_idx].set(jnp.where(emit, node_id, -1))
+    row_bad = row_bad | (ntok > out_w)
+    return out[:, :out_w], ntok, row_bad

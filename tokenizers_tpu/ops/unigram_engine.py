@@ -1,0 +1,198 @@
+"""UnigramEngine: the compiled TPU path for SentencePiece-style pipelines.
+
+Dispatched from `Tokenizer.encode_batch_fast` (see `ops/engine.py`) when the
+pipeline is (Nmt + Replace-space-collapse) + Metaspace + Unigram — the
+xlnet-style config of the reference's unigram benchmark
+(`tokenizers/benches/unigram_benchmark.rs`, fixture `unigram.json`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..encoding import Encoding
+from .merge_table import CuckooMergeTable, _hash
+from .packing import MAX_L, pack_batch
+from .unigram_encode import nmt_metaspace_class_table, unigram_program
+from .wordpiece_encode import H1_MULT, H2_MULT
+from .wordpiece_engine import _roll
+
+
+class UnigramEngine:
+    def __init__(self, tokenizer, model, vtab, scores, max_len):
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self.unk_id = np.int32(model.unk_id)
+        import math
+
+        self.unk_score = np.float32(model.min_score - 10.0)
+        s1, s2 = nmt_metaspace_class_table()
+        self.d_cls_s1 = jnp.asarray(s1)
+        self.d_cls_s2 = jnp.asarray(s2)
+        self.d_vkey_a = jnp.asarray(vtab.key_a)
+        self.d_vkey_b = jnp.asarray(vtab.key_b)
+        self.d_vlen = jnp.asarray(vtab.rank)
+        self.d_vid = jnp.asarray(vtab.new_id)
+        self.d_vscore = jnp.asarray(scores)
+        self.vseed = jnp.int32(vtab.seed)
+        with np.errstate(over="ignore"):
+            p1 = np.ones(max_len + 1, np.uint32)
+            p2 = np.ones(max_len + 1, np.uint32)
+            for i in range(1, max_len + 1):
+                p1[i] = p1[i - 1] * H1_MULT
+                p2[i] = p2[i - 1] * H2_MULT
+        self.d_pow1 = jnp.asarray(p1)
+        self.d_pow2 = jnp.asarray(p2)
+
+    # ------------------------------------------------------------------ build
+
+    @staticmethod
+    def try_build(tokenizer) -> Optional["UnigramEngine"]:
+        from ..models.unigram import Unigram
+        from ..normalizers import Nmt, Replace
+        from ..normalizers import Sequence as NormSequence
+        from ..pre_tokenizers.metaspace import PREPEND_ALWAYS, Metaspace
+
+        m = tokenizer.model
+        if not isinstance(m, Unigram):
+            return None
+        if m.byte_fallback or m.unk_id is None or not m.fuse_unk:
+            return None
+        nz = tokenizer.normalizer
+        if not (
+            isinstance(nz, NormSequence)
+            and len(nz.normalizers) == 2
+            and isinstance(nz.normalizers[0], Nmt)
+            and isinstance(nz.normalizers[1], Replace)
+            and getattr(nz.normalizers[1], "pattern_str", None) == " {2,}"
+            and nz.normalizers[1].content == " "
+        ):
+            return None
+        pt = tokenizer.pre_tokenizer
+        if not (
+            isinstance(pt, Metaspace)
+            and pt.replacement == "▁"
+            and pt.prepend_scheme == PREPEND_ALWAYS
+            and pt.split
+        ):
+            return None
+
+        entries = {}
+        max_len = 4
+        for i, (piece, score) in enumerate(m.vocab):
+            bs = piece.encode("utf-8")
+            if not bs:
+                continue
+            k1 = int(np.int32(_roll(bs, H1_MULT)))
+            k2 = int(np.int32(_roll(bs, H2_MULT)))
+            if (k1, k2) in entries:
+                # duplicate piece string: the reference keeps the first
+                # occurrence's entry in its byte map; skip later ones
+                continue
+            entries[(k1, k2)] = (len(bs), i, float(score))
+            max_len = max(max_len, len(bs))
+        if max_len > 64:
+            return None
+        vtab = CuckooMergeTable(
+            {k: (l, i) for k, (l, i, _s) in entries.items()}
+        )
+        # slot-aligned score arrays
+        scores = np.zeros((2, vtab.size), np.float32)
+        for (k1, k2), (l, i, sc) in entries.items():
+            placed = False
+            for t in (0, 1):
+                h = int(
+                    _hash(np.array([k1]), np.array([k2]), vtab.seed, vtab.mask, t)[0]
+                )
+                if vtab.key_a[t][h] == k1 and vtab.key_b[t][h] == k2:
+                    scores[t][h] = sc
+                    placed = True
+                    break
+            if not placed:
+                return None
+        return UnigramEngine(tokenizer, m, vtab, scores, max_len)
+
+    # ----------------------------------------------------------------- encode
+
+    def _kwargs(self):
+        return dict(
+            cls_s1=self.d_cls_s1,
+            cls_s2=self.d_cls_s2,
+            vkey_a=self.d_vkey_a,
+            vkey_b=self.d_vkey_b,
+            vlen=self.d_vlen,
+            vid=self.d_vid,
+            vscore=self.d_vscore,
+            vseed=self.vseed,
+            pow1=self.d_pow1,
+            pow2=self.d_pow2,
+            unk_id=self.unk_id,
+            unk_score=self.unk_score,
+            max_len=self.max_len,
+        )
+
+    def _run_device(self, byte_strings: List[bytes]):
+        results: List[Optional[np.ndarray]] = [None] * len(byte_strings)
+        bad: List[int] = []
+        kwargs = self._kwargs()
+        for buf, lengths, orig in pack_batch(byte_strings):
+            ids, ntok, row_bad = unigram_program(buf, lengths, **kwargs)
+            ids = np.asarray(ids)
+            ntok = np.asarray(ntok)
+            row_bad = np.asarray(row_bad)
+            for r, i in enumerate(orig):
+                if row_bad[r]:
+                    bad.append(i)
+                else:
+                    results[i] = ids[r, : ntok[r]]
+        return results, bad
+
+    def encode_batch(self, inputs: List[str], add_special_tokens: bool) -> List[Encoding]:
+        added = list(self.tokenizer.added_vocabulary.added_tokens_map)
+        device_idx: List[int] = []
+        byte_strings: List[bytes] = []
+        encodings: List[Optional[Encoding]] = [None] * len(inputs)
+        for i, s in enumerate(inputs):
+            if any(t in s for t in added) or len(s) > MAX_L // 2:
+                encodings[i] = self.tokenizer._encode(
+                    s, None, add_special_tokens, "none"
+                )
+            else:
+                device_idx.append(i)
+                byte_strings.append(s.encode("utf-8"))
+
+        if device_idx:
+            results, bad = self._run_device(byte_strings)
+            for i, ids in zip(device_idx, results):
+                if ids is None:
+                    continue
+                n = len(ids)
+                enc = Encoding(
+                    ids=ids.tolist(),
+                    type_ids=[0] * n,
+                    tokens=[""] * n,
+                    words=[None] * n,
+                    offsets=[(0, 0)] * n,
+                )
+                encodings[i] = self.tokenizer.post_process(
+                    enc, None, add_special_tokens
+                )
+            for j in bad:
+                i = device_idx[j]
+                encodings[i] = self.tokenizer._encode(
+                    inputs[i], None, add_special_tokens, "none"
+                )
+        return encodings
+
+    def encode_batch_arrays(self, inputs: List[str]):
+        byte_strings = [s.encode("utf-8") for s in inputs]
+        kwargs = self._kwargs()
+        out = []
+        for buf, lengths, orig in pack_batch(byte_strings):
+            ids, ntok, row_bad = unigram_program(buf, lengths, **kwargs)
+            out.append((ids, ntok, orig))
+        return out
