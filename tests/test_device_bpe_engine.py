@@ -115,3 +115,27 @@ def test_cuckoo_table_lookup():
     b2 = np.array([60001, 70002], dtype=np.int32)
     r2, _ = t.lookup_np(a2, b2)
     assert (r2 == -1).all()
+
+
+def test_long_document_sharding(gpt2):
+    """Oversized docs split at safe seams and concatenate exactly."""
+    tok, eng = gpt2
+    base = "the quick brown fox jumps over the lazy dog. " * 20
+    long_doc = base * 200  # ~180KB > MAX_L // 2
+    host = tok._encode(long_doc, None, True, "none").ids
+    dev = eng.encode_batch([long_doc], True)[0].ids
+    assert host == dev
+
+
+def test_split_long_seams():
+    from tokenizers_tpu.ops.longdoc import split_long
+
+    data = ("word " * 10000).encode()
+    chunks = split_long(data, 1 << 14)
+    assert len(chunks) > 1
+    assert b"".join(chunks) == data
+    for c in chunks[1:]:
+        assert c[0:1] == b" "
+    # no safe seam -> unchanged
+    blob = b"x" * 100000
+    assert split_long(blob, 1 << 14) == [blob]

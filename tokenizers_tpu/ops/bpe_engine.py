@@ -30,10 +30,9 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..encoding import Encoding
 from .bpe_encode import encode_program
+from .engine_base import DeviceEngineBase
 from .merge_table import CuckooMergeTable
-from .packing import MAX_L, pack_batch
 from .unicode_tables import char_class_tables
 
 LLAMA3_PATTERN = (
@@ -52,7 +51,7 @@ def _roll_hash(data: bytes, mult: int) -> int:
     return np.int32(np.uint32(h))
 
 
-class ByteLevelBpeEngine:
+class ByteLevelBpeEngine(DeviceEngineBase):
     def __init__(
         self,
         tokenizer,
@@ -168,10 +167,8 @@ class ByteLevelBpeEngine:
 
     # ----------------------------------------------------------------- encode
 
-    def _prepare(self, s: str) -> bytes:
-        if self.add_prefix_space and not s.startswith(" "):
-            s = " " + s
-        return s.encode("utf-8")
+    def _program(self, buf, lengths):
+        return encode_program(buf, lengths, **self._program_args())
 
     def _program_args(self):
         return dict(
@@ -185,70 +182,3 @@ class ByteLevelBpeEngine:
             whole_word=self.whole_word,
             **self.d_ww,
         )
-
-    def _run_device(self, byte_strings: List[bytes]):
-        """Returns per-input list of np.int32 id arrays."""
-        results: List[Optional[np.ndarray]] = [None] * len(byte_strings)
-        kwargs = self._program_args()
-        bad: List[int] = []
-        for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok, row_bad = encode_program(buf, lengths, **kwargs)
-            ids = np.asarray(ids)
-            ntok = np.asarray(ntok)
-            row_bad = np.asarray(row_bad)
-            for r, i in enumerate(orig):
-                if row_bad[r]:
-                    bad.append(i)
-                else:
-                    results[i] = ids[r, : ntok[r]]
-        return results, bad
-
-    def encode_batch(self, inputs: List[str], add_special_tokens: bool) -> List[Encoding]:
-        added = list(self.tokenizer.added_vocabulary.added_tokens_map)
-        device_idx: List[int] = []
-        byte_strings: List[bytes] = []
-        encodings: List[Optional[Encoding]] = [None] * len(inputs)
-        for i, s in enumerate(inputs):
-            if any(t in s for t in added) or len(s) > MAX_L // 2:
-                # host path: added-token extraction / very long input
-                encodings[i] = self.tokenizer._encode(
-                    s, None, add_special_tokens, "none"
-                )
-            else:
-                device_idx.append(i)
-                byte_strings.append(self._prepare(s))
-
-        if device_idx:
-            results, bad = self._run_device(byte_strings)
-            for i, ids in zip(device_idx, results):
-                if ids is None:
-                    continue
-                n = len(ids)
-                enc = Encoding(
-                    ids=ids.tolist(),
-                    type_ids=[0] * n,
-                    tokens=[""] * n,
-                    words=[None] * n,
-                    offsets=[(0, 0)] * n,
-                )
-                encodings[i] = self.tokenizer.post_process(
-                    enc, None, add_special_tokens
-                )
-            for j in bad:  # long-word / unmergeable rows: host fallback
-                i = device_idx[j]
-                encodings[i] = self.tokenizer._encode(
-                    inputs[i], None, add_special_tokens, "none"
-                )
-        return encodings
-
-    def encode_batch_arrays(self, inputs: List[str]):
-        """TPU-native batch encode: returns list of (ids, ntok, orig_indices)
-        per packed chunk, ids/ntok as device arrays.  No host
-        materialization; callers feeding a model keep everything on device."""
-        byte_strings = [self._prepare(s) for s in inputs]
-        kwargs = self._program_args()
-        out = []
-        for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok, row_bad = encode_program(buf, lengths, **kwargs)
-            out.append((ids, ntok, orig))
-        return out

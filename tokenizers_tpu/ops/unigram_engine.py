@@ -14,15 +14,14 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..encoding import Encoding
+from .engine_base import DeviceEngineBase
 from .merge_table import CuckooMergeTable, _hash
-from .packing import MAX_L, pack_batch
 from .unigram_encode import nmt_metaspace_class_table, unigram_program
 from .wordpiece_encode import H1_MULT, H2_MULT
 from .wordpiece_engine import _roll
 
 
-class UnigramEngine:
+class UnigramEngine(DeviceEngineBase):
     def __init__(self, tokenizer, model, vtab, scores, max_len):
         self.tokenizer = tokenizer
         self.max_len = max_len
@@ -118,8 +117,10 @@ class UnigramEngine:
 
     # ----------------------------------------------------------------- encode
 
-    def _kwargs(self):
-        return dict(
+    def _program(self, buf, lengths):
+        return unigram_program(
+            buf,
+            lengths,
             cls_s1=self.d_cls_s1,
             cls_s2=self.d_cls_s2,
             vkey_a=self.d_vkey_a,
@@ -134,65 +135,3 @@ class UnigramEngine:
             unk_score=self.unk_score,
             max_len=self.max_len,
         )
-
-    def _run_device(self, byte_strings: List[bytes]):
-        results: List[Optional[np.ndarray]] = [None] * len(byte_strings)
-        bad: List[int] = []
-        kwargs = self._kwargs()
-        for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok, row_bad = unigram_program(buf, lengths, **kwargs)
-            ids = np.asarray(ids)
-            ntok = np.asarray(ntok)
-            row_bad = np.asarray(row_bad)
-            for r, i in enumerate(orig):
-                if row_bad[r]:
-                    bad.append(i)
-                else:
-                    results[i] = ids[r, : ntok[r]]
-        return results, bad
-
-    def encode_batch(self, inputs: List[str], add_special_tokens: bool) -> List[Encoding]:
-        added = list(self.tokenizer.added_vocabulary.added_tokens_map)
-        device_idx: List[int] = []
-        byte_strings: List[bytes] = []
-        encodings: List[Optional[Encoding]] = [None] * len(inputs)
-        for i, s in enumerate(inputs):
-            if any(t in s for t in added) or len(s) > MAX_L // 2:
-                encodings[i] = self.tokenizer._encode(
-                    s, None, add_special_tokens, "none"
-                )
-            else:
-                device_idx.append(i)
-                byte_strings.append(s.encode("utf-8"))
-
-        if device_idx:
-            results, bad = self._run_device(byte_strings)
-            for i, ids in zip(device_idx, results):
-                if ids is None:
-                    continue
-                n = len(ids)
-                enc = Encoding(
-                    ids=ids.tolist(),
-                    type_ids=[0] * n,
-                    tokens=[""] * n,
-                    words=[None] * n,
-                    offsets=[(0, 0)] * n,
-                )
-                encodings[i] = self.tokenizer.post_process(
-                    enc, None, add_special_tokens
-                )
-            for j in bad:
-                i = device_idx[j]
-                encodings[i] = self.tokenizer._encode(
-                    inputs[i], None, add_special_tokens, "none"
-                )
-        return encodings
-
-    def encode_batch_arrays(self, inputs: List[str]):
-        byte_strings = [s.encode("utf-8") for s in inputs]
-        kwargs = self._kwargs()
-        out = []
-        for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok, row_bad = unigram_program(buf, lengths, **kwargs)
-            out.append((ids, ntok, orig))
-        return out

@@ -15,10 +15,9 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..encoding import Encoding
 from .bert_tables import bert_class_tables, bert_normalizer_tables
+from .engine_base import DeviceEngineBase
 from .merge_table import CuckooMergeTable
-from .packing import MAX_L, pack_batch
 from .wordpiece_encode import (
     CONT_MIX1,
     CONT_MIX2,
@@ -36,7 +35,7 @@ def _roll(data: bytes, mult: np.uint32) -> np.int32:
     return np.int32(h)
 
 
-class WordPieceEngine:
+class WordPieceEngine(DeviceEngineBase):
     def __init__(self, tokenizer, model, norm_tables, cls_tables, vtab, max_len):
         self.tokenizer = tokenizer
         self.max_len = max_len
@@ -113,98 +112,23 @@ class WordPieceEngine:
 
     # ----------------------------------------------------------------- encode
 
-    def _run_device(self, byte_strings: List[bytes]):
-        results: List[Optional[np.ndarray]] = [None] * len(byte_strings)
-        bad: List[int] = []
-        for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok, row_bad = wordpiece_program(
-                buf,
-                lengths,
-                self.d_norm_s1,
-                self.d_norm_ob,
-                self.d_norm_ol,
-                self.d_cls_s1,
-                self.d_cls_s2,
-                self.d_vkey_a,
-                self.d_vkey_b,
-                self.d_vlen,
-                self.d_vid,
-                self.vseed,
-                self.d_pow1,
-                self.d_pow2,
-                self.unk_id,
-                max_len=self.max_len,
-                max_word_chars=self.max_word_chars,
-            )
-            ids = np.asarray(ids)
-            ntok = np.asarray(ntok)
-            row_bad = np.asarray(row_bad)
-            for r, i in enumerate(orig):
-                if row_bad[r]:
-                    bad.append(i)
-                else:
-                    results[i] = ids[r, : ntok[r]]
-        return results, bad
-
-    def encode_batch(self, inputs: List[str], add_special_tokens: bool) -> List[Encoding]:
-        added = list(self.tokenizer.added_vocabulary.added_tokens_map)
-        device_idx: List[int] = []
-        byte_strings: List[bytes] = []
-        encodings: List[Optional[Encoding]] = [None] * len(inputs)
-        for i, s in enumerate(inputs):
-            if any(t in s for t in added) or len(s) > MAX_L // 2:
-                encodings[i] = self.tokenizer._encode(
-                    s, None, add_special_tokens, "none"
-                )
-            else:
-                device_idx.append(i)
-                byte_strings.append(s.encode("utf-8"))
-
-        if device_idx:
-            results, bad = self._run_device(byte_strings)
-            for i, ids in zip(device_idx, results):
-                if ids is None:
-                    continue
-                n = len(ids)
-                enc = Encoding(
-                    ids=ids.tolist(),
-                    type_ids=[0] * n,
-                    tokens=[""] * n,
-                    words=[None] * n,
-                    offsets=[(0, 0)] * n,
-                )
-                encodings[i] = self.tokenizer.post_process(
-                    enc, None, add_special_tokens
-                )
-            for j in bad:  # normalization overflow: host fallback
-                i = device_idx[j]
-                encodings[i] = self.tokenizer._encode(
-                    inputs[i], None, add_special_tokens, "none"
-                )
-        return encodings
-
-    def encode_batch_arrays(self, inputs: List[str]):
-        byte_strings = [s.encode("utf-8") for s in inputs]
-        out = []
-        for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok, row_bad = wordpiece_program(
-                buf,
-                lengths,
-                self.d_norm_s1,
-                self.d_norm_ob,
-                self.d_norm_ol,
-                self.d_cls_s1,
-                self.d_cls_s2,
-                self.d_vkey_a,
-                self.d_vkey_b,
-                self.d_vlen,
-                self.d_vid,
-                self.vseed,
-                self.d_pow1,
-                self.d_pow2,
-                self.unk_id,
-                max_len=self.max_len,
-                max_word_chars=self.max_word_chars,
-            )
-            out.append((ids, ntok, orig))
-        return out
+    def _program(self, buf, lengths):
+        return wordpiece_program(
+            buf,
+            lengths,
+            self.d_norm_s1,
+            self.d_norm_ob,
+            self.d_norm_ol,
+            self.d_cls_s1,
+            self.d_cls_s2,
+            self.d_vkey_a,
+            self.d_vkey_b,
+            self.d_vlen,
+            self.d_vid,
+            self.vseed,
+            self.d_pow1,
+            self.d_pow2,
+            self.unk_id,
+            max_len=self.max_len,
+            max_word_chars=self.max_word_chars,
+        )
