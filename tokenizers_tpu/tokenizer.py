@@ -386,6 +386,73 @@ class Tokenizer:
 
     # ---------------------------------------------------------------- decode
 
+    # ------------------------------------------------------------- async
+    # Reference Python binding exposes tokio-spawn_blocking async variants
+    # (`bindings/python/src/tokenizer.rs:1135-1432`); here the blocking work
+    # runs in asyncio's default thread pool.
+
+    async def async_encode(
+        self,
+        sequence: InputSequence,
+        pair: Optional[InputSequence] = None,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> Encoding:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self.encode, sequence, pair, is_pretokenized, add_special_tokens
+        )
+
+    async def async_encode_batch(
+        self,
+        inputs: Sequence,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> List[Encoding]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self.encode_batch, inputs, is_pretokenized, add_special_tokens
+        )
+
+    async def async_encode_batch_fast(
+        self,
+        inputs: Sequence,
+        is_pretokenized: bool = False,
+        add_special_tokens: bool = True,
+    ) -> List[Encoding]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self.encode_batch_fast, inputs, is_pretokenized, add_special_tokens
+        )
+
+    async def async_decode(
+        self, ids: Sequence[int], skip_special_tokens: bool = True
+    ) -> str:
+        import asyncio
+
+        return await asyncio.to_thread(self.decode, ids, skip_special_tokens)
+
+    async def async_decode_batch(
+        self, sequences, skip_special_tokens: bool = True
+    ) -> List[str]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self.decode_batch, sequences, skip_special_tokens
+        )
+
+    def normalize(self, sequence: str) -> str:
+        """Run just the normalizer (reference Python binding `normalize`)."""
+        from .normalized import NormalizedString
+
+        ns = NormalizedString(sequence)
+        if self.normalizer is not None:
+            self.normalizer.normalize(ns)
+        return ns.get()
+
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
         tokens = []
         for id in ids:
