@@ -477,13 +477,9 @@ class Tokenizer:
     # ----------------------------------------------------------------- train
 
     def train(self, files: Sequence[str], trainer=None) -> "Tokenizer":
-        def line_iter():
-            for path in files:
-                with open(path, "r", encoding="utf-8") as f:
-                    for line in f:
-                        yield line
+        from .utils.iter import file_lines_with_ending
 
-        return self.train_from_iterator(line_iter(), trainer)
+        return self.train_from_iterator(file_lines_with_ending(files), trainer)
 
     def train_from_iterator(
         self, iterator: Iterable[str], trainer=None, length: Optional[int] = None

@@ -98,6 +98,13 @@ class BpeTrainer:
         heapq.heapify(heap)
 
         # 5. merge loop
+        from ..utils.progress import progress_bar
+
+        pbar = progress_bar(
+            self.show_progress,
+            length=max(0, self.vocab_size - len(word_to_id)),
+            message="Compute merges",
+        )
         merges: List[Tuple[Tuple[int, int], int]] = []
         while True:
             if len(word_to_id) >= self.vocab_size:
@@ -126,6 +133,7 @@ class BpeTrainer:
                 id_to_word.append(new_token)
                 word_to_id[new_token] = new_token_id
             merges.append((pair, new_token_id))
+            pbar.inc(1)
 
             # apply merge at all positions, collect pair-count deltas
             for i in sorted(pos):
@@ -145,6 +153,8 @@ class BpeTrainer:
                     heapq.heappush(heap, (-c, chg_pair, seq, chg_pos))
                     seq += 1
             where_to_update = {}
+
+        pbar.finish()
 
         # transfer to model
         model.vocab = dict(word_to_id)
