@@ -49,9 +49,11 @@ def build_docs():
         chunk = data[off : off + DOC_BYTES]
         while chunk and (chunk[-1] & 0xC0) == 0x80:  # cut at UTF-8 boundary
             chunk = chunk[:-1]
+        if chunk and chunk[-1] >= 0xC0:  # dangling lead byte
+            chunk = chunk[:-1]
         docs.append(chunk.decode("utf-8"))
         total += len(chunk)
-        off += DOC_BYTES
+        off += len(chunk)  # keep successive docs on char boundaries
     return docs
 
 

@@ -7,3 +7,4 @@ over ICI, replicated deterministic selection (see SURVEY.md §2.9).
 """
 
 from .bpe_train import DistributedBpeTrainer  # noqa: F401
+from .encode import shard_encode_batch, shard_encode_batch_arrays  # noqa: F401
