@@ -139,3 +139,25 @@ def test_split_long_seams():
     # no safe seam -> unchanged
     blob = b"x" * 100000
     assert split_long(blob, 1 << 14) == [blob]
+
+
+def test_char_offsets_match_host(gpt2):
+    """Device encode_batch (char offsets, tokens, words) == host path."""
+    tok, _ = gpt2
+    cases = ADVERSARIAL + ["séquence ñ 序号", "mixed é" * 5]
+    host = [tok._encode(s, None, True, "char") for s in cases]
+    dev = tok.encode_batch(cases)
+    for s, h, d in zip(cases, host, dev):
+        assert h.ids == d.ids, s
+        assert h.offsets == d.offsets, s
+        assert h.tokens == d.tokens, s
+        assert h.words == d.words, s
+
+
+def test_byte_offsets_match_host(gpt2):
+    tok, _ = gpt2
+    cases = ADVERSARIAL + ["séquence ñ 序号"]
+    host = [tok._encode(s, None, True, "byte") for s in cases]
+    dev = tok.encode_batch_byte_offsets(cases)
+    for s, h, d in zip(cases, host, dev):
+        assert h.ids == d.ids and h.offsets == d.offsets, s

@@ -81,3 +81,14 @@ def test_template_processing_applies(llama3):
     bos = tok.token_to_id("<|begin_of_text|>")
     assert with_special[0] == bos
     assert with_special[1:] == without
+
+
+def test_char_offsets_match_host(llama3):
+    tok, _ = llama3
+    cases = ADVERSARIAL[:12] + ["séquence ñ 序号123"]
+    host = [tok._encode(s, None, True, "char") for s in cases]
+    dev = tok.encode_batch(cases)
+    for s, h, d in zip(cases, host, dev):
+        assert h.ids == d.ids, s
+        assert h.offsets == d.offsets, s
+        assert h.words == d.words, s

@@ -226,7 +226,8 @@ def _chain_parity(f, transparent):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_word_ids", "boundary", "whole_word")
+    jax.jit,
+    static_argnames=("with_word_ids", "boundary", "whole_word", "with_offsets"),
 )
 def encode_program(
     bytes_u8,
@@ -243,6 +244,7 @@ def encode_program(
     ww_rows0=None,
     ww_rows1=None,
     ww_seed=0,
+    with_offsets=False,
 ):
     """uint8[B,L] bytes + int32[B] lengths
     -> (ids int32[B, L//2], ntok int32[B], row_bad bool[B]).
@@ -328,8 +330,9 @@ def encode_program(
         ids0 = jnp.where(bnd & ww_hit, stored_id, ids0)
         ids0 = jnp.where(word_is_hit & ~bnd, -1, ids0)
 
-    ids, wid2, bad2 = run_merge_phases(
-        ids0, word_id, merge_rows0, merge_rows1, seed
+    obp0 = pos if (with_offsets or with_word_ids) else None
+    ids, wid2, bad2, obp2 = run_merge_phases(
+        ids0, word_id, merge_rows0, merge_rows1, seed, obp=obp0
     )
     row_bad = row_bad | bad2
 
@@ -339,11 +342,36 @@ def encode_program(
     ntok = jnp.where(alive, k + 1, 0).max(axis=1)
     rows = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0)
     scatter_idx = jnp.where(alive, k, out_w)
-    out = jnp.full((B, out_w + 1), -1, jnp.int32)
-    out = out.at[rows, scatter_idx].set(ids)
-    result = (out[:, :out_w], ntok, row_bad)
+
+    def pack(x, fill=-1):
+        return (
+            jnp.full((B, out_w + 1), fill, jnp.int32)
+            .at[rows, scatter_idx]
+            .set(x)[:, :out_w]
+        )
+
+    result = (pack(ids), ntok, row_bad)
     if with_word_ids:
-        wout = jnp.full((B, out_w + 1), -1, jnp.int32)
-        wout = wout.at[rows, scatter_idx].set(wid2)
-        result = result + (wout[:, :out_w],)
+        result = result + (pack(wid2),)
+    if with_offsets:
+        starts = pack(jnp.where(alive, obp2, 0))
+        wids_out = pack(wid2)
+        # token end byte (exclusive, in prepared space): next token's start
+        # when it belongs to the same word, else the word's end boundary
+        nstarts = _shift_next(starts, 0)
+        nwids = _shift_next(wids_out, -2)
+        # word end per byte position (computed pre-merge): last byte + 1
+        wend_b = jnp.minimum(nxt_bnd, lengths[:, None])  # exclusive end
+        tok_pos = jax.lax.broadcasted_iota(jnp.int32, starts.shape, 1)
+        in_tok = tok_pos < ntok[:, None]
+        wend_at = jnp.take_along_axis(
+            wend_b, jnp.clip(starts, 0, L - 1), axis=1
+        )
+        ends = jnp.where(
+            in_tok & (nwids == wids_out) & (_shift_next(in_tok, False)),
+            nstarts,
+            wend_at,
+        )
+        ends = jnp.where(in_tok, ends, 0)
+        result = result + (starts, ends, wids_out)
     return result

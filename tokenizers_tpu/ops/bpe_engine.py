@@ -167,8 +167,15 @@ class ByteLevelBpeEngine(DeviceEngineBase):
 
     # ----------------------------------------------------------------- encode
 
+    supports_offsets = True
+
     def _program(self, buf, lengths):
         return encode_program(buf, lengths, **self._program_args())
+
+    def _program_offsets(self, buf, lengths):
+        return encode_program(
+            buf, lengths, with_offsets=True, **self._program_args()
+        )
 
     def _program_args(self):
         return dict(

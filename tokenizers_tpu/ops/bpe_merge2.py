@@ -8,11 +8,9 @@ touch as few gathered elements as possible:
     (select + static shifts — no gathers); after r rounds since the last
     compaction the longest dead gap is < 2^r, so early rounds use shallow
     fills;
-  * the merge-rank lookup caches (rank, new_id) per position across rounds
-    and each round refreshes only *stale* pairs (those whose tokens changed:
-    ~2 per merge), packed into a small [B, C] tensor — a full-width lookup
-    (two cuckoo [S,4] row-gathers) runs only when a round's stale count
-    overflows C (first rounds, post-compaction rounds);
+  * the merge-rank lookup packs each cuckoo table as [S, 4] rows, so one
+    lookup costs two row-gathers (a cached-rank delta-refresh variant was
+    measured slower on this backend and removed);
   * overlap parity within equal-pair chains is a segmented *sum* scan;
   * the batch is compacted to half width once most tokens are dead, so late
     rounds run on the smaller tensor.
@@ -148,8 +146,11 @@ def merge_round(ids, wid, seg, rows0, rows1, seed, k_steps=FILL_K):
     return ids, jnp.any(f)
 
 
-def compact(ids, wid, w_new):
-    """Left-pack alive tokens into width w_new; overflow rows flagged."""
+def compact(ids, wid, w_new, extras=()):
+    """Left-pack alive tokens into width w_new; overflow rows flagged.
+
+    `extras`: additional int32 arrays to compact alongside (e.g. original
+    byte positions for offset tracking)."""
     B, W = ids.shape
     alive = ids >= 0
     k = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
@@ -157,23 +158,29 @@ def compact(ids, wid, w_new):
     bad = ntok > w_new
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
     tgt = jnp.where(alive, jnp.minimum(k, w_new), w_new)
-    out_ids = jnp.full((B, w_new + 1), -1, jnp.int32).at[rows, tgt].set(
-        jnp.where(alive, ids, -1)
-    )
-    out_wid = jnp.full((B, w_new + 1), -1, jnp.int32).at[rows, tgt].set(
-        jnp.where(alive, wid, -1)
-    )
-    return out_ids[:, :w_new], out_wid[:, :w_new], bad
+
+    def pack(x):
+        return (
+            jnp.full((B, w_new + 1), -1, jnp.int32)
+            .at[rows, tgt]
+            .set(jnp.where(alive, x, -1))[:, :w_new]
+        )
+
+    out_extras = tuple(pack(x) for x in extras)
+    return pack(ids), pack(wid), bad, out_extras
 
 
 def _seg_of(wid):
     return wid != _shift_prev(wid, -2)
 
 
-def run_merge_phases(ids, wid, rows0, rows1, seed, phase1_rounds=6):
+def run_merge_phases(ids, wid, rows0, rows1, seed, phase1_rounds=6, obp=None):
     """Full merge to completion: fixed rounds at input width (growing fill
     depths — round r's gaps are < 2^r), compact to half width, then loop
-    until no word has a mergeable pair. Returns (ids, wid, row_bad)."""
+    until no word has a mergeable pair. Returns (ids, wid, row_bad, obp').
+
+    `obp` (original byte position per token, for offsets) rides along:
+    merges keep the left token's position, so it only changes at compaction."""
     B, W = ids.shape
 
     seg = _seg_of(wid)
@@ -181,7 +188,8 @@ def run_merge_phases(ids, wid, rows0, rows1, seed, phase1_rounds=6):
         ids, _ = merge_round(ids, wid, seg, rows0, rows1, seed, k_steps=r + 1)
 
     w2 = max(W // 2, 64)
-    ids, wid2, bad = compact(ids, wid, w2)
+    extras = (obp,) if obp is not None else ()
+    ids, wid2, bad, extras = compact(ids, wid, w2, extras)
     seg2 = _seg_of(wid2)
 
     def cond(state):
@@ -192,4 +200,5 @@ def run_merge_phases(ids, wid, rows0, rows1, seed, phase1_rounds=6):
         return merge_round(ids, wid2, seg2, rows0, rows1, seed)
 
     ids, _ = jax.lax.while_loop(cond, body, (ids, jnp.array(True)))
-    return ids, wid2, bad
+    obp2 = extras[0] if obp is not None else None
+    return ids, wid2, bad, obp2

@@ -19,9 +19,50 @@ from .packing import MAX_L, pack_batch
 CHUNK_TARGET = 1 << 15  # ~32KB device chunks for long documents
 
 
+def _offset_tables(text: str):
+    data = np.frombuffer(text.encode("utf-8"), np.uint8)
+    is_start = (data & 0xC0) != 0x80
+    cidx = np.cumsum(is_start) - 1 if len(data) else np.zeros(0, np.int64)
+    char_pos = np.flatnonzero(is_start)
+    return data, cidx, char_pos
+
+
+def _bytes_to_chars(text: str, starts: np.ndarray, ends: np.ndarray):
+    """Original-byte offsets -> char offsets, expanded to full characters
+    (NormalizedString alignments give every byte of a char the whole char's
+    span, reference `normalizer.rs`; `BytesToCharOffsetConverter` then maps
+    byte ends to the containing char)."""
+    data, cidx, _ = _offset_tables(text)
+    n = len(data)
+    if n == 0:
+        return starts * 0, ends * 0
+    st = cidx[np.clip(starts, 0, n - 1)]
+    en = np.where(
+        ends > starts, cidx[np.clip(ends - 1, 0, n - 1)] + 1, st
+    )
+    return st.astype(np.int64), en.astype(np.int64)
+
+
+def _expand_bytes(text: str, starts: np.ndarray, ends: np.ndarray):
+    """Expand byte spans to char boundaries (byte-referential offsets)."""
+    data, cidx, char_pos = _offset_tables(text)
+    n = len(data)
+    if n == 0:
+        return starts * 0, ends * 0
+    st = char_pos[cidx[np.clip(starts, 0, n - 1)]]
+    last_char = cidx[np.clip(ends - 1, 0, n - 1)]
+    nxt = last_char + 1
+    en = np.where(
+        nxt < len(char_pos), char_pos[np.clip(nxt, 0, len(char_pos) - 1)], n
+    )
+    en = np.where(ends > starts, en, st)
+    return st.astype(np.int64), en.astype(np.int64)
+
+
 class DeviceEngineBase:
     tokenizer = None
     add_prefix_space = False
+    supports_offsets = False  # subclass may provide _program_offsets
 
     # subclass provides: _program(buf, lengths) -> (ids, ntok, row_bad)
 
@@ -98,6 +139,122 @@ class DeviceEngineBase:
         for i in host_idx:
             encodings[i] = self.tokenizer._encode(
                 inputs[i], None, add_special_tokens, "none"
+            )
+        return encodings
+
+    # -------------------------------------------------------- with offsets
+
+    def _run_device_offsets(self, byte_strings: List[bytes]):
+        results: List[Optional[tuple]] = [None] * len(byte_strings)
+        bad: List[int] = []
+        for buf, lengths, orig in pack_batch(byte_strings):
+            ids, ntok, row_bad, starts, ends, words = self._program_offsets(
+                buf, lengths
+            )
+            ids = np.asarray(ids)
+            ntok = np.asarray(ntok)
+            row_bad = np.asarray(row_bad)
+            starts = np.asarray(starts)
+            ends = np.asarray(ends)
+            words = np.asarray(words)
+            for r, i in enumerate(orig):
+                if row_bad[r]:
+                    bad.append(i)
+                else:
+                    n = ntok[r]
+                    results[i] = (
+                        ids[r, :n],
+                        starts[r, :n],
+                        ends[r, :n],
+                        words[r, :n],
+                    )
+        return results, bad
+
+    def encode_batch_offsets(
+        self, inputs: List[str], add_special_tokens: bool, char_ref: bool
+    ) -> List[Encoding]:
+        """Device encode with original-referential offsets (byte or char),
+        token strings and word indices — the reference `encode_batch` /
+        `encode_batch_char_offsets` surface."""
+        added = list(self.tokenizer.added_vocabulary.added_tokens_map)
+        encodings: List[Optional[Encoding]] = [None] * len(inputs)
+        piece_strings: List[bytes] = []
+        piece_owner: List[int] = []
+        piece_base: List[int] = []  # prepared-space byte base per piece
+        host_idx: List[int] = []
+        offsets_kind = "char" if char_ref else "byte"
+
+        for i, s in enumerate(inputs):
+            if any(t in s for t in added):
+                host_idx.append(i)
+                continue
+            data = self._prepare(s)
+            if len(data) > MAX_L // 2:
+                chunks = split_long(data, CHUNK_TARGET)
+                if len(chunks) == 1:
+                    host_idx.append(i)
+                    continue
+            else:
+                chunks = [data]
+            base = 0
+            for c in chunks:
+                piece_strings.append(c)
+                piece_owner.append(i)
+                piece_base.append(base)
+                base += len(c)
+
+        if piece_strings:
+            results, bad = self._run_device_offsets(piece_strings)
+            bad_inputs = {piece_owner[j] for j in bad}
+            per_input: dict = {}
+            for j, res in enumerate(results):
+                owner = piece_owner[j]
+                if owner in bad_inputs or res is None:
+                    continue
+                ids, st, en, wd = res
+                per_input.setdefault(owner, []).append(
+                    (ids, st + piece_base[j], en + piece_base[j], wd)
+                )
+            vocab_r = self.tokenizer.model.vocab_r
+            for i, parts in per_input.items():
+                if len(parts) > 1:
+                    ids = np.concatenate([p[0] for p in parts])
+                    st = np.concatenate([p[1] for p in parts])
+                    en = np.concatenate([p[2] for p in parts])
+                    wds = []
+                    wbase = 0
+                    for p in parts:
+                        wds.append(p[3] + wbase)
+                        if len(p[3]):
+                            wbase += int(p[3].max()) + 1
+                    wd = np.concatenate(wds)
+                else:
+                    ids, st, en, wd = parts[0]
+                # prepared -> original byte offsets (undo the prefix space)
+                if self.add_prefix_space and not inputs[i].startswith(" "):
+                    st = np.maximum(st - 1, 0)
+                    en = np.maximum(en - 1, 0)
+                if char_ref:
+                    st, en = _bytes_to_chars(inputs[i], st, en)
+                else:
+                    st, en = _expand_bytes(inputs[i], st, en)
+                n = len(ids)
+                idl = ids.tolist()
+                enc = Encoding(
+                    ids=idl,
+                    type_ids=[0] * n,
+                    tokens=[vocab_r[t] for t in idl],
+                    words=wd.tolist(),
+                    offsets=list(zip(st.tolist(), en.tolist())),
+                )
+                encodings[i] = self.tokenizer.post_process(
+                    enc, None, add_special_tokens
+                )
+            host_idx.extend(sorted(bad_inputs))
+
+        for i in host_idx:
+            encodings[i] = self.tokenizer._encode(
+                inputs[i], None, add_special_tokens, offsets_kind
             )
         return encodings
 

@@ -314,9 +314,16 @@ class Tokenizer:
         return self._encode_batch(inputs, add_special_tokens, NONE)
 
     def _encode_batch(self, inputs, add_special_tokens, offsets_type) -> List[Encoding]:
-        engine = self._get_device_engine() if offsets_type == NONE else None
+        engine = self._get_device_engine()
+        if engine is not None and offsets_type != NONE and not engine.supports_offsets:
+            engine = None
         if engine is not None and all(isinstance(i, str) for i in inputs):
-            encodings = engine.encode_batch(list(inputs), add_special_tokens)
+            if offsets_type == NONE:
+                encodings = engine.encode_batch(list(inputs), add_special_tokens)
+            else:
+                encodings = engine.encode_batch_offsets(
+                    list(inputs), add_special_tokens, offsets_type == CHAR
+                )
         else:
             encodings = []
             for input in inputs:
