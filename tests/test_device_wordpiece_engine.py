@@ -80,3 +80,26 @@ def test_cls_sep_template(bert):
     cls = tok.token_to_id("[CLS]")
     sep = tok.token_to_id("[SEP]")
     assert enc.ids[0] == cls and enc.ids[-1] == sep
+
+
+def test_char_offsets_match_host(bert):
+    """Device encode_batch with char offsets/tokens/words == host path,
+    including normalization expansions (CJK padding, NFD) and [UNK] spans."""
+    tok, _ = bert
+    cases = ADVERSARIAL + ["中文 mixed École", "ﬁﬂ ligatures"]
+    host = [tok._encode(s, None, True, "char") for s in cases]
+    dev = tok.encode_batch(cases)
+    for s, h, d in zip(cases, host, dev):
+        assert h.ids == d.ids, s
+        assert h.offsets == d.offsets, s
+        assert h.tokens == d.tokens, s
+        assert h.words == d.words, s
+
+
+def test_byte_offsets_match_host(bert):
+    tok, _ = bert
+    cases = ADVERSARIAL[:10] + ["中文 École naïve"]
+    host = [tok._encode(s, None, True, "byte") for s in cases]
+    dev = tok.encode_batch_byte_offsets(cases)
+    for s, h, d in zip(cases, host, dev):
+        assert h.ids == d.ids and h.offsets == d.offsets, s

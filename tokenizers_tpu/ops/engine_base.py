@@ -43,6 +43,19 @@ def _bytes_to_chars(text: str, starts: np.ndarray, ends: np.ndarray):
     return st.astype(np.int64), en.astype(np.int64)
 
 
+def _chars_to_bytes(text: str, starts: np.ndarray, ends: np.ndarray):
+    """Char offsets -> byte offsets."""
+    data, _cidx, char_pos = _offset_tables(text)
+    n = len(data)
+    if n == 0:
+        return starts * 0, ends * 0
+    cp = np.concatenate([char_pos, [n]])
+    m = len(cp) - 1
+    st = cp[np.clip(starts, 0, m)]
+    en = cp[np.clip(ends, 0, m)]
+    return st.astype(np.int64), en.astype(np.int64)
+
+
 def _expand_bytes(text: str, starts: np.ndarray, ends: np.ndarray):
     """Expand byte spans to char boundaries (byte-referential offsets)."""
     data, cidx, char_pos = _offset_tables(text)
@@ -63,6 +76,10 @@ class DeviceEngineBase:
     tokenizer = None
     add_prefix_space = False
     supports_offsets = False  # subclass may provide _program_offsets
+    # _program_offsets return space: "prepared_bytes" (byte offsets into the
+    # prepared text, e.g. byte-level BPE) or "original_chars" (char offsets
+    # into the original text, e.g. WordPiece via source-char tracking)
+    offsets_space = "prepared_bytes"
 
     # subclass provides: _program(buf, lengths) -> (ids, ntok, row_bad)
 
@@ -150,7 +167,7 @@ class DeviceEngineBase:
         for buf, lengths, orig in pack_batch(byte_strings):
             ids, ntok, row_bad, starts, ends, words = self._program_offsets(
                 buf, lengths
-            )
+            )  # words: word ids (BPE) or dense word ranks (WordPiece)
             ids = np.asarray(ids)
             ntok = np.asarray(ntok)
             row_bad = np.asarray(row_bad)
@@ -196,12 +213,13 @@ class DeviceEngineBase:
                     continue
             else:
                 chunks = [data]
-            base = 0
+            bbase = cbase = 0
             for c in chunks:
                 piece_strings.append(c)
                 piece_owner.append(i)
-                piece_base.append(base)
-                base += len(c)
+                piece_base.append((bbase, cbase))
+                bbase += len(c)
+                cbase += len(c.decode("utf-8"))
 
         if piece_strings:
             results, bad = self._run_device_offsets(piece_strings)
@@ -212,8 +230,10 @@ class DeviceEngineBase:
                 if owner in bad_inputs or res is None:
                     continue
                 ids, st, en, wd = res
+                bbase, cbase = piece_base[j]
+                base = bbase if self.offsets_space == "prepared_bytes" else cbase
                 per_input.setdefault(owner, []).append(
-                    (ids, st + piece_base[j], en + piece_base[j], wd)
+                    (ids, st + base, en + base, wd)
                 )
             vocab_r = self.tokenizer.model.vocab_r
             for i, parts in per_input.items():
@@ -230,14 +250,18 @@ class DeviceEngineBase:
                     wd = np.concatenate(wds)
                 else:
                     ids, st, en, wd = parts[0]
-                # prepared -> original byte offsets (undo the prefix space)
-                if self.add_prefix_space and not inputs[i].startswith(" "):
-                    st = np.maximum(st - 1, 0)
-                    en = np.maximum(en - 1, 0)
-                if char_ref:
-                    st, en = _bytes_to_chars(inputs[i], st, en)
-                else:
-                    st, en = _expand_bytes(inputs[i], st, en)
+                if self.offsets_space == "prepared_bytes":
+                    # prepared -> original bytes (undo the prefix space)
+                    if self.add_prefix_space and not inputs[i].startswith(" "):
+                        st = np.maximum(st - 1, 0)
+                        en = np.maximum(en - 1, 0)
+                    if char_ref:
+                        st, en = _bytes_to_chars(inputs[i], st, en)
+                    else:
+                        st, en = _expand_bytes(inputs[i], st, en)
+                else:  # original_chars
+                    if not char_ref:
+                        st, en = _chars_to_bytes(inputs[i], st, en)
                 n = len(ids)
                 idl = ids.tolist()
                 enc = Encoding(

@@ -74,7 +74,8 @@ def _decode_chars(b, inb):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_len", "max_word_chars", "expand")
+    jax.jit,
+    static_argnames=("max_len", "max_word_chars", "expand", "with_offsets"),
 )
 def wordpiece_program(
     bytes_u8,
@@ -95,6 +96,7 @@ def wordpiece_program(
     max_len,
     max_word_chars,
     expand=2,
+    with_offsets=False,
 ):
     """-> (ids int32[B, L2], ntok int32[B], row_bad bool[B]).
 
@@ -131,6 +133,24 @@ def wordpiece_program(
     npos = jax.lax.broadcasted_iota(jnp.int32, (B, L2), 1)
     ninb = npos < total[:, None]
     nb = jnp.where(ninb, nb, 0)
+
+    if with_offsets:
+        # source char index per normalized byte: scatter each input char's
+        # index at its output start, then forward-fill
+        in_char_idx = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+        srcm = jnp.full((B, L2 + NORM_K), -1, jnp.int32)
+        emit = is_start & (olen > 0)
+        srcm = srcm.at[
+            rows, jnp.where(emit, opos, L2 + NORM_K - 1)
+        ].set(jnp.where(emit, in_char_idx, -1), mode="drop")
+        srcm = srcm[:, :L2]
+
+        def op_src(a, c):
+            (v1,), (v2,) = a, c
+            return (jnp.where(v2 >= 0, v2, v1),)
+
+        (src_char,) = jax.lax.associative_scan(op_src, (srcm,), axis=1)
+        src_char = jnp.where(ninb, src_char, -1)
 
     # ---- stage 2: bert pre-split ----------------------------------------
     cp2, nstart, _ = _decode_chars(nb, ninb)
@@ -262,4 +282,51 @@ def wordpiece_program(
     scatter_idx = jnp.where(token, k, L2)
     out = jnp.full((B, L2 + 1), -1, jnp.int32)
     out = out.at[rows3, scatter_idx].set(out_id)
-    return out[:, :L2], ntok, row_bad
+    if not with_offsets:
+        return out[:, :L2], ntok, row_bad
+
+    def pack(x, fill=0):
+        return (
+            jnp.full((B, L2 + 1), fill, jnp.int32)
+            .at[rows3, scatter_idx]
+            .set(x)[:, :L2]
+        )
+
+    # token extents in normalized-byte space: a token starts at its own
+    # position; for [UNK] word tokens the span is the whole word
+    tok_start_n = jnp.where(in_fail_word, headp, npos)
+    tok_end_n = jnp.zeros((B, L2), jnp.int32)
+    # end = next token's start in the same word, else wend + 1
+    starts_p = pack(tok_start_n)
+    words_p = pack(jnp.where(headp >= 0, headp, 0), fill=-2)
+    wend_p = pack(jnp.clip(wend, 0, L2 - 1))
+    n_starts = jnp.concatenate(
+        [starts_p[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    n_words = jnp.concatenate(
+        [words_p[:, 1:], jnp.full((B, 1), -2, jnp.int32)], axis=1
+    )
+    tpos = jax.lax.broadcasted_iota(jnp.int32, starts_p.shape, 1)
+    in_tok = tpos < ntok[:, None]
+    ends_p = jnp.where(
+        in_tok & (n_words == words_p) & _shift_next(in_tok, False),
+        n_starts,
+        wend_p + 1,
+    )
+    ends_p = jnp.where(in_tok, ends_p, 0)
+    # map normalized-byte extents to original char indices
+    src_pad = jnp.concatenate([src_char, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    st_char = jnp.take_along_axis(
+        src_pad, jnp.clip(starts_p, 0, L2), axis=1
+    )
+    en_char = (
+        jnp.take_along_axis(src_pad, jnp.clip(ends_p - 1, 0, L2), axis=1) + 1
+    )
+    st_char = jnp.where(in_tok, st_char, 0)
+    en_char = jnp.where(in_tok, en_char, 0)
+    # word index per token: dense-rank the word head positions
+    head_tok = words_p
+    new_word = (head_tok != _shift_prev(head_tok, -3)) & in_tok
+    word_idx = jnp.cumsum(new_word.astype(jnp.int32), axis=1) - 1
+    word_idx = jnp.where(in_tok, word_idx, -1)
+    return out[:, :L2], ntok, row_bad, st_char, en_char, word_idx

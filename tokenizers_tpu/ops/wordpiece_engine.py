@@ -112,6 +112,31 @@ class WordPieceEngine(DeviceEngineBase):
 
     # ----------------------------------------------------------------- encode
 
+    supports_offsets = True
+    offsets_space = "original_chars"
+
+    def _program_offsets(self, buf, lengths):
+        return wordpiece_program(
+            buf,
+            lengths,
+            self.d_norm_s1,
+            self.d_norm_ob,
+            self.d_norm_ol,
+            self.d_cls_s1,
+            self.d_cls_s2,
+            self.d_vkey_a,
+            self.d_vkey_b,
+            self.d_vlen,
+            self.d_vid,
+            self.vseed,
+            self.d_pow1,
+            self.d_pow2,
+            self.unk_id,
+            max_len=self.max_len,
+            max_word_chars=self.max_word_chars,
+            with_offsets=True,
+        )
+
     def _program(self, buf, lengths):
         return wordpiece_program(
             buf,
