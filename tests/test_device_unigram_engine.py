@@ -67,3 +67,17 @@ def test_device_matches_host_fuzz(unigram):
     dev = [e.ids for e in eng.encode_batch(cases, True)]
     for s, h, d in zip(cases, host, dev):
         assert h == d, f"mismatch on {s!r}"
+
+
+def test_char_offsets_match_host(unigram):
+    """Device encode_batch with char offsets/tokens/words == host path,
+    including space-run collapse spans, unk span text, and fused-unk runs."""
+    tok, _ = unigram
+    cases = ADVERSARIAL + ["séquence ñ", "zz\x01qq deleted ctrl"]
+    host = [tok._encode(s, None, True, "char") for s in cases]
+    dev = tok.encode_batch(cases)
+    for s, h, d in zip(cases, host, dev):
+        assert h.ids == d.ids, s
+        assert h.offsets == d.offsets, s
+        assert h.tokens == d.tokens, s
+        assert h.words == d.words, s

@@ -235,7 +235,7 @@ class DeviceEngineBase:
                 per_input.setdefault(owner, []).append(
                     (ids, st + base, en + base, wd)
                 )
-            vocab_r = self.tokenizer.model.vocab_r
+            pass
             for i, parts in per_input.items():
                 if len(parts) > 1:
                     ids = np.concatenate([p[0] for p in parts])
@@ -250,6 +250,7 @@ class DeviceEngineBase:
                     wd = np.concatenate(wds)
                 else:
                     ids, st, en, wd = parts[0]
+                st_c = en_c = None
                 if self.offsets_space == "prepared_bytes":
                     # prepared -> original bytes (undo the prefix space)
                     if self.add_prefix_space and not inputs[i].startswith(" "):
@@ -260,6 +261,7 @@ class DeviceEngineBase:
                     else:
                         st, en = _expand_bytes(inputs[i], st, en)
                 else:  # original_chars
+                    st_c, en_c = st, en
                     if not char_ref:
                         st, en = _chars_to_bytes(inputs[i], st, en)
                 n = len(ids)
@@ -267,7 +269,12 @@ class DeviceEngineBase:
                 enc = Encoding(
                     ids=idl,
                     type_ids=[0] * n,
-                    tokens=[vocab_r[t] for t in idl],
+                    tokens=self._token_strings(
+                        idl,
+                        inputs[i],
+                        st if st_c is None else st_c,
+                        en if en_c is None else en_c,
+                    ),
                     words=wd.tolist(),
                     offsets=list(zip(st.tolist(), en.tolist())),
                 )
@@ -281,6 +288,15 @@ class DeviceEngineBase:
                 inputs[i], None, add_special_tokens, offsets_kind
             )
         return encodings
+
+    def _token_strings(self, ids, text, st_c, en_c):
+        """Token strings per id; `st_c`/`en_c` are char-referential spans
+        (engines with text-dependent token values override this)."""
+        model = self.tokenizer.model
+        if hasattr(model, "vocab_r"):
+            vr = model.vocab_r
+            return [vr[t] for t in ids]
+        return [model.id_to_token(t) for t in ids]
 
     def encode_batch_arrays(self, inputs: List[str]):
         """Device-resident (ids, ntok, orig_indices) per packed chunk — the

@@ -68,7 +68,7 @@ def nmt_metaspace_class_table():
     return _nmt_cache
 
 
-@functools.partial(jax.jit, static_argnames=("max_len",))
+@functools.partial(jax.jit, static_argnames=("max_len", "with_offsets"))
 def unigram_program(
     bytes_u8,
     lengths,
@@ -85,6 +85,7 @@ def unigram_program(
     unk_id,
     unk_score,
     max_len,
+    with_offsets=False,
 ):
     """-> (ids int32[B, OUT], ntok int32[B], row_bad bool[B])."""
     B, L = bytes_u8.shape
@@ -101,8 +102,15 @@ def unigram_program(
         is_start, cls_s2[(page << 8) | (cp & 255)].astype(jnp.int32), CLS_DELETE
     )
     surv = is_start & (cls != CLS_DELETE)
-    (pcls,), pfnd = fill_prev([cls], surv, k_steps=max(1, (L - 1).bit_length()))
-    collapsed = (cls == CLS_SPACE) & pfnd & (pcls == CLS_SPACE)
+    # Replace(" {2,}" -> " ") keeps the LAST space of a run: the reference's
+    # replacement char carries the span of the final matched character, so
+    # a space whose next surviving char is a space is dropped.
+    from .bpe_merge2 import fill_next as _fill_next
+
+    (ncls,), nfnd = _fill_next(
+        [cls], surv, k_steps=max(1, (L - 1).bit_length())
+    )
+    collapsed = (cls == CLS_SPACE) & nfnd & (ncls == CLS_SPACE)
     cls = jnp.where(collapsed, CLS_DELETE, cls)
 
     keep = is_start & (cls == CLS_KEEP)
@@ -143,6 +151,32 @@ def unigram_program(
     npos = jax.lax.broadcasted_iota(jnp.int32, (B, L2), 1)
     ninb = npos < total[:, None]
     nb = jnp.where(ninb, nb, 0)
+
+    if with_offsets:
+        # source char per normalized byte (prepended ▁ backfills from the
+        # first emitting char, matching NormalizedString.prepend alignment)
+        in_char_idx = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+        emit = is_start & (out_len > 0)
+        srcm = jnp.full((B, L2 + 4), -1, jnp.int32)
+        srcm = srcm.at[rows, jnp.where(emit, opos, JUNK)].set(
+            jnp.where(emit, in_char_idx, -1), mode="drop"
+        )[:, :L2]
+
+        def op_src(a, c):
+            (v1,), (v2,) = a, c
+            return (jnp.where(v2 >= 0, v2, v1),)
+
+        (src_char,) = jax.lax.associative_scan(op_src, (srcm,), axis=1)
+
+        def op_src_r(a, c):
+            (v1,), (v2,) = a, c
+            return (jnp.where(v2 >= 0, v2, v1),)
+
+        (back,) = jax.lax.associative_scan(
+            op_src_r, (src_char,), axis=1, reverse=True
+        )
+        src_char = jnp.where(src_char >= 0, src_char, back)
+        src_char = jnp.where(ninb, jnp.maximum(src_char, 0), 0)
 
     # ---- stage 2: piece scores per (position, length) --------------------
     _, nstart, nclen = _decode_chars(nb, ninb)
@@ -333,7 +367,58 @@ def unigram_program(
     ntok = jnp.where(emit, k + 1, 0).max(axis=1)
     out_w = L2 // 2
     scatter_idx = jnp.where(emit, jnp.minimum(k, out_w), out_w)
-    out = jnp.full((B, out_w + 1), -1, jnp.int32)
-    out = out.at[rowsB, scatter_idx].set(jnp.where(emit, node_id, -1))
+
+    def packb(x, fill=-1):
+        return (
+            jnp.full((B, out_w + 1), fill, jnp.int32)
+            .at[rowsB, scatter_idx]
+            .set(jnp.where(emit, x, fill))[:, :out_w]
+        )
+
+    out = packb(node_id)
     row_bad = row_bad | (ntok > out_w)
-    return out[:, :out_w], ntok, row_bad
+    if not with_offsets:
+        return out, ntok, row_bad
+
+    # token extents in normalized-byte space: start = node_st at the emitted
+    # boundary; end = next token's start within the word, else word end + 1
+    # (this also gives fused-unk runs their full span)
+    bpos = jax.lax.broadcasted_iota(jnp.int32, (B, L2 + 1), 1)
+    starts_p = packb(node_st, fill=0)
+    # head of the word containing the token start:
+    headb_pad = jnp.concatenate([headb, jnp.full((B, 1), -1, jnp.int32)], axis=1)
+    head_at_start = jnp.take_along_axis(
+        headb_pad, jnp.clip(starts_p, 0, L2), axis=1
+    )
+    tpos = jax.lax.broadcasted_iota(jnp.int32, starts_p.shape, 1)
+    in_tok = tpos < ntok[:, None]
+    n_starts = jnp.concatenate(
+        [starts_p[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    n_heads = jnp.concatenate(
+        [head_at_start[:, 1:], jnp.full((B, 1), -2, jnp.int32)], axis=1
+    )
+    # word end (exclusive) for the word containing the token start
+    wend_pad = jnp.concatenate([wend, jnp.full((B, 1), -1, jnp.int32)], axis=1)
+    wend_at = (
+        jnp.take_along_axis(wend_pad, jnp.clip(starts_p, 0, L2), axis=1) + 1
+    )
+    ends_p = jnp.where(
+        in_tok & (n_heads == head_at_start) & _shift_next(in_tok, False),
+        n_starts,
+        wend_at,
+    )
+    ends_p = jnp.where(in_tok, ends_p, 0)
+    # normalized bytes -> original chars
+    src_pad = jnp.concatenate([src_char, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    st_char = jnp.take_along_axis(src_pad, jnp.clip(starts_p, 0, L2), axis=1)
+    en_char = (
+        jnp.take_along_axis(src_pad, jnp.clip(ends_p - 1, 0, L2), axis=1) + 1
+    )
+    st_char = jnp.where(in_tok, st_char, 0)
+    en_char = jnp.where(in_tok, en_char, 0)
+    new_word = (head_at_start != _shift_prev(head_at_start, -3)) & in_tok
+    word_idx = jnp.where(
+        in_tok, jnp.cumsum(new_word.astype(jnp.int32), axis=1) - 1, -1
+    )
+    return out, ntok, row_bad, st_char, en_char, word_idx

@@ -117,6 +117,48 @@ class UnigramEngine(DeviceEngineBase):
 
     # ----------------------------------------------------------------- encode
 
+    supports_offsets = True
+    offsets_space = "original_chars"
+
+    def _program_offsets(self, buf, lengths):
+        return unigram_program(
+            buf,
+            lengths,
+            cls_s1=self.d_cls_s1,
+            cls_s2=self.d_cls_s2,
+            vkey_a=self.d_vkey_a,
+            vkey_b=self.d_vkey_b,
+            vlen=self.d_vlen,
+            vid=self.d_vid,
+            vscore=self.d_vscore,
+            vseed=self.vseed,
+            pow1=self.d_pow1,
+            pow2=self.d_pow2,
+            unk_id=self.unk_id,
+            unk_score=self.unk_score,
+            max_len=self.max_len,
+            with_offsets=True,
+        )
+
+    def _token_strings(self, ids, text, st_c, en_c):
+        # unk tokens carry the covered text as their value (reference
+        # `unigram/model.rs` backtrack emits the raw piece), minus chars the
+        # Nmt normalizer deletes; other ids map through the vocab.
+        from ..normalizers import Nmt
+
+        vocab = self.tokenizer.model.vocab
+        unk = int(self.unk_id)
+        out = []
+        for k, t in enumerate(ids):
+            if t == unk:
+                span = text[int(st_c[k]) : int(en_c[k])]
+                out.append(
+                    "".join(c for c in span if ord(c) not in Nmt._FILTERED)
+                )
+            else:
+                out.append(vocab[t][0])
+        return out
+
     def _program(self, buf, lengths):
         return unigram_program(
             buf,
