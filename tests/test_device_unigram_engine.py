@@ -34,6 +34,8 @@ ADVERSARIAL = [
     "▁literal meta chars▁",
     "zzzz qqqq unknownpieces xq",
     "tabs\tbecome\nspaces",
+    # ulp-sensitive Viterbi tie: needs serde_json-style score parsing
+    "'Ve'll....",
 ]
 
 

@@ -3,33 +3,31 @@
 TPU-native redesign of the reference trainer loop
 (`tokenizers/src/models/bpe/trainer.rs:420-593`).  The reference keeps a heap
 of pair counts with per-merge incremental updates applied word-by-word under
-rayon; here the unique-word corpus is a packed `int32[W, K]` tensor sharded
-over the mesh's `data` axis and each round is one SPMD program:
+rayon; here the unique-word corpus is a packed `int32[W, K]` tensor (one row
+per word, -1 = dead symbol) sharded over the mesh's `data` axis and each
+round is one SPMD program:
 
   1. **Selection** (replicated, deterministic): argmax over registry counts
      with the reference's exact tie-break — count desc, then pair (a, b)
      ascending (`trainer.rs:30-39`).
-  2. **Merge application** (sharded): occurrences of the selected pair via
-     the same linked-list + overlap-parity machinery as the encode kernel
-     (leftmost-first within overlapping `aaa` chains, matching
-     `Word::merge`, `word.rs:107-160`).
-  3. **Exact incremental count deltas** (sharded compute, `psum` reduce).
-     Mirroring the reference's left-to-right in-word merge pass: for a merge
-     site the *left* neighbor is taken in post-merge state (it may already
-     have merged this round) and the *right* neighbor in pre-merge state.
-     Per site, weighted by the word count c:
-       own pair (a, b): -c
-       right adjacency (b, y_pre) dies with the absorbed symbol: -c
-       new right pair (new, y_pre): +c   [gated by max_token_length]
-       left adjacency (x_post, a): -c
-       new left pair (x_post, new): +c   [gated by max_token_length]
-     Deltas on pairs that existed before the round resolve to registry slots
-     via a linear-probe hash and are scatter-added; deltas on pairs involving
-     the freshly minted token (which has no slot yet) accumulate into dense
-     per-token arrays — `dense_left[x]` for (x, new), `dense_right[y]` for
-     (new, y) — that the host registers after the psum.  Token char lengths
-     for the `max_token_length` gate are a pure function of token id
-     (`id2len`), exactly as the reference's per-symbol `len` evolves.
+  2. **Merge application** (sharded, gather-free): occurrences of the
+     selected pair via shift-fills and an overlap-parity scan (leftmost-
+     first within `aaa` chains, matching `Word::merge`, `word.rs:107-160`).
+  3. **Exact incremental count deltas** (sharded compute, `psum` reduce),
+     mirroring the reference's left-to-right in-word pass: left neighbors in
+     post-merge state, right neighbors in pre-merge state.  Per site,
+     weighted by the word count c:
+       own pair (a, b): -c                      [registry slot passed by host]
+       right adjacency (b, y_pre) dies: -c      [registry lookup]
+       new right pair (new, y_pre): +c          [dense, gated by max length]
+       left adjacency (x_post, a): -c           [lookup, or dense if x = new]
+       new left pair (x_post, new): +c          [dense, gated]
+     Merge sites are *packed* into a fixed-capacity flat tensor so the
+     registry hash lookups and delta scatters run on ~|sites| elements, not
+     the whole corpus; rounds whose site count overflows the capacity fall
+     back to full-tensor lookups (the first few frequent merges).
+     Token char lengths for `max_token_length` are a function of token id
+     (`id2len`), exactly as the reference's per-symbol lengths evolve.
 
 Every reduction is a deterministic `psum` over the mesh: identical merges
 regardless of shard count (tested sharded == host trainer merges).
@@ -45,19 +43,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .bpe_encode import _chain_parity
+from .bpe_merge2 import _seg_count, _shift_prev, fill_next, fill_prev
 
-MAXPROBE = 32
+MAXPROBE = 8
 INT_MIN = np.int32(-0x80000000)
 INT_MAX = np.int32(0x7FFFFFFF)
+SITE_CAP = 1 << 16  # default packed-delta capacity per shard per round
 
 
 def _hash_pair(a, b, mask):
-    if isinstance(a, jnp.ndarray):
-        xp = jnp
-    else:
-        xp = np
-        a = np.asarray(a)  # array path avoids scalar-overflow warnings
+    xp = jnp if isinstance(a, jnp.ndarray) else np
+    if xp is np:
+        a = np.asarray(a)
         b = np.asarray(b)
     a = a.astype(xp.uint32)
     b = b.astype(xp.uint32)
@@ -72,9 +69,9 @@ def _hash_pair(a, b, mask):
 class PairRegistry:
     """Host-managed registry of distinct pairs + the device lookup hash.
 
-    reg_a/reg_b/count: int32[p_cap] (first `n` live). slots: int32[H] ->
-    registry index or -1, linear probing, probe length <= MAXPROBE enforced
-    at insert (H is sized 4x capacity so this never trips in practice)."""
+    reg_a/reg_b/count: int32[p_cap] (first `n` live).  slot_rows:
+    int32[H, 4] = (key_a, key_b, registry_index, 0), linear probing with
+    probe length <= MAXPROBE enforced at insert (H = 4x capacity)."""
 
     def __init__(self, pairs: Dict[Tuple[int, int], int], p_cap: int):
         self.p_cap = p_cap
@@ -85,12 +82,12 @@ class PairRegistry:
         self.H = 1
         while self.H < 4 * max(16, p_cap):
             self.H <<= 1
-        self.slots = np.full(self.H, -1, np.int32)
+        self.slot_rows = np.full((self.H, 4), -1, np.int32)
         self.index: Dict[Tuple[int, int], int] = {}
         for (a, b), c in pairs.items():
             self.insert(a, b, c)
 
-    def insert(self, a: int, b: int, c: int) -> int:
+    def insert(self, a: int, b: int, c: int, touched=None) -> int:
         idx = self.n
         if idx >= self.p_cap:
             raise RuntimeError("registry capacity exceeded")
@@ -101,8 +98,10 @@ class PairRegistry:
         h = int(_hash_pair(np.int32(a), np.int32(b), self.H - 1))
         for probe in range(MAXPROBE):
             s = (h + probe) & (self.H - 1)
-            if self.slots[s] < 0:
-                self.slots[s] = idx
+            if self.slot_rows[s, 2] < 0:
+                self.slot_rows[s] = (a, b, idx, 0)
+                if touched is not None:
+                    touched.append(s)
                 break
         else:
             raise RuntimeError("probe length exceeded; resize the registry")
@@ -110,126 +109,152 @@ class PairRegistry:
         return idx
 
 
-def _lookup_slots(reg_a, reg_b, slots, a, b):
+def _lookup_rows(slot_rows, a, b):
     """Device linear-probe lookup: registry index of (a, b), -1 if absent."""
-    mask = slots.shape[0] - 1
+    mask = slot_rows.shape[0] - 1
     h = _hash_pair(a, b, mask)
     found = jnp.full(a.shape, -1, jnp.int32)
     for probe in range(MAXPROBE):
-        s = (h + probe) & mask
-        idx = slots[s]
-        ok = (idx >= 0) & (reg_a[idx] == a) & (reg_b[idx] == b)
-        found = jnp.where((found < 0) & ok, idx, found)
+        row = slot_rows[(h + probe) & mask]
+        ok = (row[..., 0] == a) & (row[..., 1] == b)
+        found = jnp.where((found < 0) & ok, row[..., 2], found)
     return found
 
 
-def select_pair(reg_a, count):
-    """Replicated deterministic selection: (count desc, pair asc).
-
-    reg_a here is the composite ordering helper — see make_round: we order by
-    count desc then (a, b) ascending using two nested argmins."""
-    raise NotImplementedError  # inlined in make_round
-
-
-def make_round(mesh: Mesh, p_cap: int, v_cap: int):
+def make_round(mesh: Mesh, p_cap: int, v_cap: int, site_cap: int = SITE_CAP):
     """Build the jitted SPMD merge round over `mesh` (axis name 'data')."""
     from jax.experimental.shard_map import shard_map
 
     def shard_body(
         words,
-        nxt,
-        prv,
-        alive,
         wcount,
         sel_a,
         sel_b,
+        sel_idx,
         new_id,
         new_len,
         max_len,
         id2len,
-        reg_a,
-        reg_b,
-        slots,
+        slot_rows,
     ):
-        Ws, KP = words.shape
-        K = KP - 1
-        take = lambda x, idx: jnp.take_along_axis(x, idx, axis=1)
+        Ws, K = words.shape
+        alive = words >= 0
+        (nid,), nfnd = fill_next([words], alive)
+        is_pair = alive & nfnd & (words == sel_a) & (nid == sel_b)
+        cnt = _seg_count(is_pair, alive & ~is_pair)
+        site = is_pair & jnp.where(sel_a == sel_b, cnt % 2 == 1, True)
 
-        nid = take(words, nxt)
-        valid = alive & (nxt < K)
-        is_pair = valid & (words == sel_a) & (nid == sel_b)
-        parity = _chain_parity(is_pair, ~alive)
-        site = is_pair & jnp.where(sel_a == sel_b, parity == 1, True)
+        # neighbor context via fills (no gathers)
+        (nid2_raw, nf_raw), _ = fill_next(
+            [jnp.where(nfnd, nid, -1), nfnd.astype(jnp.int32)], alive
+        )
+        # y = id of the symbol after the absorbed one (pre-merge state)
+        y = nid2_raw
+        r_ok = site & (nf_raw == 1) & (y >= 0)
 
-        kill = take(site, prv)  # symbol absorbed because its left pair merged
-        c_w = jnp.broadcast_to(wcount[:, None], (Ws, KP))
+        (p_id, p_site), pfnd = fill_prev(
+            [words, site.astype(jnp.int32)], alive
+        )
+        # prev-prev values: fill of the filled arrays
+        (pp_id, pp_site), _pp = fill_prev(
+            [jnp.where(pfnd, p_id, -1), jnp.where(pfnd, p_site, 0)], alive
+        )
+        ppfnd = jnp.zeros_like(pfnd)
+        (ppf_i,), _ = fill_prev([pfnd.astype(jnp.int32)], alive)
+        ppfnd = ppf_i == 1
+        # the prev symbol dies this round iff ITS left neighbor is a site;
+        # the effective left neighbor is then that absorbing site
+        pv_killed = pfnd & ppfnd & (pp_site == 1)
+        l_exists = site & pfnd
+        x_pre = jnp.where(pv_killed, pp_id, p_id)  # left id, pre-merge
+        lp_site = jnp.where(pv_killed, True, p_site == 1)
 
-        # right neighbor (pre-merge state)
-        rk = take(nxt, nxt)  # nxt[k]
-        r_ok = site & (rk < K)
-        y = take(words, rk)
-        r_add_ok = r_ok & ((id2len[y] + new_len) < max_len)
+        c_w = jnp.broadcast_to(wcount[:, None], (Ws, K))
 
-        # left neighbor (post-merge state): skip over a just-absorbed symbol
-        pv = prv
-        lp = jnp.where(take(kill, pv), take(prv, pv), pv)
-        l_ok = site & (lp < K)
-        lp_site = take(site, jnp.clip(lp, 0, K))
-        x_pre = take(words, lp)
-        x_len = jnp.where(lp_site, new_len, id2len[x_pre])
-        l_add_ok = l_ok & ((x_len + new_len) < max_len)
+        # ---- pack sites into a flat [site_cap] tensor --------------------
+        sflat = site.reshape(-1)
+        order = jnp.cumsum(sflat.astype(jnp.int32)) - 1
+        n_sites = jnp.sum(sflat.astype(jnp.int32))
+        overflow = n_sites > site_cap
+        slot = jnp.where(sflat, jnp.minimum(order, site_cap - 1), site_cap)
 
-        # ---- deltas ------------------------------------------------------
-        didx = []
-        dval = []
+        def pk(x, fill=0):
+            return (
+                jnp.full(site_cap + 1, fill, jnp.int32)
+                .at[slot]
+                .set(jnp.where(sflat, x.reshape(-1), fill), mode="drop")[
+                    :site_cap
+                ]
+            )
 
-        def hash_delta(a_arr, b_arr, mask, sign):
-            idx = _lookup_slots(reg_a, reg_b, slots, a_arr, b_arr)
-            didx.append(jnp.where(mask, idx, -1))
-            dval.append(jnp.where(mask, sign * c_w, 0))
+        s_y = pk(y, -1)
+        s_rok = pk(r_ok.astype(jnp.int32))
+        s_x = pk(x_pre, -1)
+        s_lex = pk(l_exists.astype(jnp.int32))
+        s_lps = pk(lp_site.astype(jnp.int32))
+        s_c = pk(c_w)
+        s_used = (
+            jax.lax.broadcasted_iota(jnp.int32, (site_cap,), 0)
+            < jnp.minimum(n_sites, site_cap)
+        )
 
-        a_bc = jnp.broadcast_to(sel_a, words.shape)
-        b_bc = jnp.broadcast_to(sel_b, words.shape)
-        hash_delta(a_bc, b_bc, site, -1)  # own
-        hash_delta(b_bc, y, r_ok, -1)  # right adjacency dies
-        hash_delta(x_pre, a_bc, l_ok & ~lp_site, -1)  # left adjacency (x, a)
-
+        # ---- deltas over packed sites ------------------------------------
+        delta = jnp.zeros(p_cap + 1, jnp.int32)
         dense_left = jnp.zeros(v_cap + 1, jnp.int32)
         dense_right = jnp.zeros(v_cap + 1, jnp.int32)
-        # (new, y): +c gated
-        dense_right = dense_right.at[jnp.where(r_add_ok, y, v_cap)].add(
-            jnp.where(r_add_ok, c_w, 0), mode="drop"
-        )
-        # left adjacency involving new: (new, a) -c when the left symbol
-        # already merged this round
-        dense_right = dense_right.at[
-            jnp.where(l_ok & lp_site, a_bc, v_cap)
-        ].add(jnp.where(l_ok & lp_site, -c_w, 0), mode="drop")
-        # (x_post, new): +c gated; x_post == new routes through dense_right
-        lx = l_add_ok & ~lp_site
-        dense_left = dense_left.at[jnp.where(lx, x_pre, v_cap)].add(
-            jnp.where(lx, c_w, 0), mode="drop"
-        )
-        ln = l_add_ok & lp_site  # (new, new)
-        dense_right = dense_right.at[
-            jnp.where(ln, jnp.broadcast_to(new_id, words.shape), v_cap)
-        ].add(jnp.where(ln, c_w, 0), mode="drop")
 
-        # ---- apply merges ------------------------------------------------
+        # own pair: host passes its registry slot
+        delta = delta.at[sel_idx].add(-jnp.sum(jnp.where(s_used, s_c, 0)))
+
+        rmask = s_used & (s_rok == 1)
+        ridx = _lookup_rows(slot_rows, jnp.broadcast_to(sel_b, s_y.shape), s_y)
+        delta = delta.at[jnp.where(rmask, ridx, p_cap)].add(
+            jnp.where(rmask, -s_c, 0), mode="drop"
+        )
+        r_add = rmask & ((id2len[jnp.clip(s_y, 0, v_cap - 1)] + new_len) < max_len)
+        dense_right = dense_right.at[jnp.where(r_add, s_y, v_cap)].add(
+            jnp.where(r_add, s_c, 0), mode="drop"
+        )
+
+        lmask = s_used & (s_lex == 1)
+        l_plain = lmask & (s_lps == 0)
+        lidx = _lookup_rows(
+            slot_rows, s_x, jnp.broadcast_to(sel_a, s_x.shape)
+        )
+        delta = delta.at[jnp.where(l_plain, lidx, p_cap)].add(
+            jnp.where(l_plain, -s_c, 0), mode="drop"
+        )
+        # left symbol already merged this round: pair (new, a) -c -> dense
+        l_new = lmask & (s_lps == 1)
+        dense_right = dense_right.at[
+            jnp.where(l_new, jnp.broadcast_to(sel_a, s_x.shape), v_cap)
+        ].add(jnp.where(l_new, -s_c, 0), mode="drop")
+        # left-add (x_post, new) gated by length
+        x_len = jnp.where(
+            s_lps == 1, new_len, id2len[jnp.clip(s_x, 0, v_cap - 1)]
+        )
+        l_add = lmask & ((x_len + new_len) < max_len)
+        la_plain = l_add & (s_lps == 0)
+        dense_left = dense_left.at[jnp.where(la_plain, s_x, v_cap)].add(
+            jnp.where(la_plain, s_c, 0), mode="drop"
+        )
+        la_new = l_add & (s_lps == 1)  # (new, new) routes through dense_right
+        dense_right = dense_right.at[
+            jnp.where(la_new, jnp.broadcast_to(new_id, s_x.shape), v_cap)
+        ].add(jnp.where(la_new, s_c, 0), mode="drop")
+
+        # ---- apply merges -------------------------------------------------
+        (pm,), pf2 = fill_prev([site.astype(jnp.int32)], alive)
+        kill = alive & pf2 & (pm == 1)
         words = jnp.where(site, new_id, words)
-        alive = alive & ~kill
-        nxt = jnp.where(site, take(nxt, nxt), nxt)
-        kp = take(kill, prv)
-        prv = jnp.where(kp, take(prv, prv), prv)
+        words = jnp.where(kill, -1, words)
 
-        delta = jnp.zeros(p_cap + 1, jnp.int32)
-        for i, v in zip(didx, dval):
-            delta = delta.at[jnp.where(i >= 0, i, p_cap)].add(v, mode="drop")
         delta = jax.lax.psum(delta[:p_cap], "data")
         dense_left = jax.lax.psum(dense_left[:v_cap], "data")
         dense_right = jax.lax.psum(dense_right[:v_cap], "data")
         merged = jax.lax.psum(jnp.sum(jnp.where(site, c_w, 0)), "data")
-        return words, nxt, prv, alive, delta, dense_left, dense_right, merged
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), "data")
+        return words, delta, dense_left, dense_right, merged, overflow
 
     sharded = shard_map(
         shard_body,
@@ -237,10 +262,6 @@ def make_round(mesh: Mesh, p_cap: int, v_cap: int):
         in_specs=(
             P("data"),
             P("data"),
-            P("data"),
-            P("data"),
-            P("data"),
-            P(),
             P(),
             P(),
             P(),
@@ -250,56 +271,39 @@ def make_round(mesh: Mesh, p_cap: int, v_cap: int):
             P(),
             P(),
         ),
-        out_specs=(
-            P("data"),
-            P("data"),
-            P("data"),
-            P("data"),
-            P(),
-            P(),
-            P(),
-            P(),
-        ),
+        out_specs=(P("data"), P(), P(), P(), P(), P()),
     )
 
     def round_fn(
         words,
-        nxt,
-        prv,
-        alive,
         wcount,
-        reg_a,
-        reg_b,
         count,
-        slots,
+        slot_rows,
         id2len,
         sel_a,
         sel_b,
+        sel_idx,
         new_id,
         new_len,
         max_len,
     ):
-        w2, n2, p2, al2, delta, dl, dr, merged = sharded(
+        w2, delta, dl, dr, merged, overflow = sharded(
             words,
-            nxt,
-            prv,
-            alive,
             wcount,
             sel_a,
             sel_b,
+            sel_idx,
             new_id,
             new_len,
             max_len,
             id2len,
-            reg_a,
-            reg_b,
-            slots,
+            slot_rows,
         )
         count = count + delta
         id2len = id2len.at[new_id].set(new_len)
-        return w2, n2, p2, al2, count, id2len, dl, dr, merged
+        return w2, count, id2len, dl, dr, merged, overflow
 
-    round_jit = jax.jit(round_fn, donate_argnums=(0, 1, 2, 3, 7, 9))
+    round_jit = jax.jit(round_fn, donate_argnums=(0, 2, 4))
 
     def select_fn(reg_a, reg_b, count):
         """(count desc, (a,b) asc) argmax; returns (best, a, b)."""

@@ -201,6 +201,8 @@ def unigram_program(
 
     vmask = vkey_a.shape[1] - 1
     s_ok = ninb & nstart
+    sdtype = vscore.dtype  # float64 under the engine's enable_x64 scope
+    NEGS = jnp.asarray(NEG, sdtype)
     costs = []
     pids = []
     for l in range(1, max_len + 1):
@@ -222,17 +224,17 @@ def unigram_program(
         stored_id = jnp.where(hit0, vid[0][g0], vid[1][g1])
         stored_sc = jnp.where(hit0, vscore[0][g0], vscore[1][g1])
         hit = valid & (hit0 | hit1) & (stored_l == l)
-        costs.append(jnp.where(hit, stored_sc, NEG))
+        costs.append(jnp.where(hit, stored_sc, NEGS))
         pids.append(jnp.where(hit, stored_id, -1))
     cost = jnp.stack(costs, axis=-1)  # [B, L2, max_len]
     pid = jnp.stack(pids, axis=-1)
     lidx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 2) + 1
     # unk fallback: exactly the char length, only when no piece of that
     # length matched here (reference `has_single_node`)
-    has_single = jnp.any((lidx == nclen[..., None]) & (cost > NEG / 2), axis=-1)
+    has_single = jnp.any((lidx == nclen[..., None]) & (cost > NEGS / 2), axis=-1)
     unk_here = s_ok & ~has_single
     unk_sel = unk_here[..., None] & (lidx == nclen[..., None])
-    cost = jnp.where(unk_sel, jnp.float32(unk_score), cost)
+    cost = jnp.where(unk_sel, jnp.asarray(unk_score, sdtype), cost)
     pid = jnp.where(unk_sel, unk_id, pid)
 
     # ---- stage 3: forward DP (lax.scan over byte positions) --------------
@@ -272,7 +274,7 @@ def unigram_program(
         return (new_sc, new_st, new_id), node
 
     init = (
-        jnp.full((B, K), NEG),
+        jnp.full((B, K), NEG, sdtype),
         jnp.full((B, K), -1, jnp.int32),
         jnp.full((B, K), -1, jnp.int32),
     )

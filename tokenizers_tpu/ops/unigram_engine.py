@@ -12,6 +12,7 @@ from typing import List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .engine_base import DeviceEngineBase
@@ -28,7 +29,7 @@ class UnigramEngine(DeviceEngineBase):
         self.unk_id = np.int32(model.unk_id)
         import math
 
-        self.unk_score = np.float32(model.min_score - 10.0)
+        self.unk_score = np.float64(model.min_score - 10.0)
         s1, s2 = nmt_metaspace_class_table()
         self.d_cls_s1 = jnp.asarray(s1)
         self.d_cls_s2 = jnp.asarray(s2)
@@ -36,7 +37,8 @@ class UnigramEngine(DeviceEngineBase):
         self.d_vkey_b = jnp.asarray(vtab.key_b)
         self.d_vlen = jnp.asarray(vtab.rank)
         self.d_vid = jnp.asarray(vtab.new_id)
-        self.d_vscore = jnp.asarray(scores)
+        with jax.enable_x64():
+            self.d_vscore = jnp.asarray(scores.astype(np.float64))
         self.vseed = jnp.int32(vtab.seed)
         with np.errstate(over="ignore"):
             p1 = np.ones(max_len + 1, np.uint32)
@@ -99,8 +101,9 @@ class UnigramEngine(DeviceEngineBase):
         vtab = CuckooMergeTable(
             {k: (l, i) for k, (l, i, _s) in entries.items()}
         )
-        # slot-aligned score arrays
-        scores = np.zeros((2, vtab.size), np.float32)
+        # slot-aligned score arrays (f64: Viterbi ties must match the
+        # reference's double-precision sums)
+        scores = np.zeros((2, vtab.size), np.float64)
         for (k1, k2), (l, i, sc) in entries.items():
             placed = False
             for t in (0, 1):
@@ -121,6 +124,10 @@ class UnigramEngine(DeviceEngineBase):
     offsets_space = "original_chars"
 
     def _program_offsets(self, buf, lengths):
+        with jax.enable_x64():
+            return self._program_offsets_x64(buf, lengths)
+
+    def _program_offsets_x64(self, buf, lengths):
         return unigram_program(
             buf,
             lengths,
@@ -160,6 +167,10 @@ class UnigramEngine(DeviceEngineBase):
         return out
 
     def _program(self, buf, lengths):
+        with jax.enable_x64():
+            return self._program_x64(buf, lengths)
+
+    def _program_x64(self, buf, lengths):
         return unigram_program(
             buf,
             lengths,

@@ -7,6 +7,12 @@ running sharded on device and reduced with deterministic `psum`s
 (see `ops/bpe_train_step.py`).  The host keeps only the tiny serial state:
 token minting, the pair registry index, and the stop conditions.
 
+Per-round device work is gather-free (shift-fills) except registry hash
+lookups over the *packed* merge sites; the packing capacity adapts to the
+selected pair's count (a pair's occurrence count bounds its site count), so
+early high-frequency merges recompile at a larger capacity and the long
+tail runs with a small one.
+
 Mesh axis: 'data' (corpus words sharded). Works on any mesh size including a
 single chip; multi-host meshes shard W across all chips with counts reduced
 over ICI/DCN.
@@ -14,6 +20,7 @@ over ICI/DCN.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -25,9 +32,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..added_vocabulary import AddedToken
 from ..trainers.bpe_trainer import BpeTrainer
 from .. import ops as _ops  # noqa: F401  (enables the compilation cache)
-from ..ops.bpe_train_step import PairRegistry, _hash_pair, MAXPROBE, make_round
+from ..ops.bpe_train_step import PairRegistry, make_round
 
 UPDATE_CAP = 16384  # padded size of per-round registry insert scatters
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _apply_updates(reg_a, reg_b, count, slot_rows, ui, ua, ub, uc, us, urow):
+    p_cap = reg_a.shape[0]
+    H = slot_rows.shape[0]
+    reg_a = jnp.concatenate([reg_a, jnp.full((1,), -1, jnp.int32)])
+    reg_b = jnp.concatenate([reg_b, jnp.full((1,), -1, jnp.int32)])
+    count = jnp.concatenate([count, jnp.zeros((1,), jnp.int32)])
+    slot_rows = jnp.concatenate(
+        [slot_rows, jnp.full((1, 4), -1, jnp.int32)], axis=0
+    )
+    reg_a = reg_a.at[ui].set(ua, mode="drop")[:p_cap]
+    reg_b = reg_b.at[ui].set(ub, mode="drop")[:p_cap]
+    count = count.at[ui].add(uc, mode="drop")[:p_cap]
+    slot_rows = slot_rows.at[us].set(urow, mode="drop")[:H]
+    return reg_a, reg_b, count, slot_rows
 
 
 class DistributedBpeTrainer:
@@ -36,7 +60,6 @@ class DistributedBpeTrainer:
     def __init__(self, mesh: Optional[Mesh] = None, **kwargs):
         self.base = BpeTrainer(**kwargs)
         self.mesh = mesh
-        self._touched_slots: List[int] = []
 
     @property
     def words(self):
@@ -74,33 +97,25 @@ class DistributedBpeTrainer:
         # ---- pack corpus -------------------------------------------------
         W = len(words)
         K = max((len(w) for w, _ in words), default=1)
-        K = max(K, 1)
+        K = max(K, 2)
         Wp = -(-max(W, 1) // ndev) * ndev
-        ids_np = np.full((Wp, K + 1), -1, np.int32)
-        alive_np = np.zeros((Wp, K + 1), bool)
-        nxt_np = np.full((Wp, K + 1), K, np.int32)
-        prv_np = np.full((Wp, K + 1), K, np.int32)
+        ids_np = np.full((Wp, K), -1, np.int32)
         wc_np = np.zeros(Wp, np.int32)
         for i, (w, _lens) in enumerate(words):
             n = len(w)
             if n == 0:
                 continue
             ids_np[i, :n] = w
-            alive_np[i, :n] = True
-            if n > 1:
-                nxt_np[i, : n - 1] = np.arange(1, n, dtype=np.int32)
-                prv_np[i, 1:n] = np.arange(0, n - 1, dtype=np.int32)
             wc_np[i] = counts[i]
 
         # ---- initial pair counts (host, vectorized) ----------------------
-        a = ids_np[:, :-2].reshape(-1).astype(np.int64)
-        b = ids_np[:, 1:-1].reshape(-1).astype(np.int64)
-        wrep = np.repeat(wc_np, K - 1) if K > 1 else np.zeros(0, np.int64)
+        a = ids_np[:, :-1].reshape(-1).astype(np.int64)
+        b = ids_np[:, 1:].reshape(-1).astype(np.int64)
+        wrep = np.repeat(wc_np, K - 1).astype(np.int64)
         ok = (a >= 0) & (b >= 0)
         keys = a[ok] * v_cap + b[ok]
-        w_ok = wrep[ok]
         uniq, inv = np.unique(keys, return_inverse=True)
-        csum = np.bincount(inv, weights=w_ok).astype(np.int64)
+        csum = np.bincount(inv, weights=wrep[ok]).astype(np.int64)
         pairs = {
             (int(k // v_cap), int(k % v_cap)): int(c)
             for k, c in zip(uniq, csum)
@@ -115,22 +130,21 @@ class DistributedBpeTrainer:
         shard = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         d_words = jax.device_put(ids_np, shard)
-        d_nxt = jax.device_put(nxt_np, shard)
-        d_prv = jax.device_put(prv_np, shard)
-        d_alive = jax.device_put(alive_np, shard)
         d_wc = jax.device_put(wc_np, shard)
         d_reg_a = jax.device_put(reg.reg_a, repl)
         d_reg_b = jax.device_put(reg.reg_b, repl)
         d_count = jax.device_put(reg.count, repl)
-        d_slots = jax.device_put(reg.slots, repl)
-        id2len_np = np.ones(v_cap, np.int32)
-        d_id2len = jax.device_put(id2len_np, repl)
+        d_slot_rows = jax.device_put(reg.slot_rows, repl)
+        d_id2len = jax.device_put(np.ones(v_cap, np.int32), repl)
 
-        select_jit, round_jit = make_round(mesh, p_cap, v_cap)
-        update_jit = _make_update_fn()
+        max_count = int(max(pairs.values(), default=1))
+        site_cap = 1 << max(12, (max_count + 1).bit_length())
+        site_cap = min(site_cap, 1 << 21)
+        select_jit, round_jit = make_round(mesh, p_cap, v_cap, site_cap)
 
         merges: List[Tuple[Tuple[int, int], int]] = []
         id2len_host: Dict[int, int] = {}
+        touched: List[int] = []
 
         while len(word_to_id) < cfg.vocab_size:
             best, sa, sb = select_jit(d_reg_a, d_reg_b, d_count)
@@ -139,6 +153,11 @@ class DistributedBpeTrainer:
             sb = int(sb)
             if best < 1 or cfg.min_frequency > best:
                 break
+            if best > site_cap:  # resize packing capacity, recompile rounds
+                site_cap = 1 << (best + 1).bit_length()
+                select_jit, round_jit = make_round(
+                    mesh, p_cap, v_cap, site_cap
+                )
 
             part_a = id_to_word[sa]
             part_b = id_to_word[sb]
@@ -154,81 +173,73 @@ class DistributedBpeTrainer:
             merges.append(((sa, sb), new_id))
             new_len = id2len_host.get(sa, 1) + id2len_host.get(sb, 1)
             id2len_host[new_id] = new_len
+            sel_idx = reg.index[(sa, sb)]
 
             (
                 d_words,
-                d_nxt,
-                d_prv,
-                d_alive,
                 d_count,
                 d_id2len,
                 dl,
                 dr,
                 _merged,
+                overflow,
             ) = round_jit(
                 d_words,
-                d_nxt,
-                d_prv,
-                d_alive,
                 d_wc,
-                d_reg_a,
-                d_reg_b,
                 d_count,
-                d_slots,
+                d_slot_rows,
                 d_id2len,
                 jnp.int32(sa),
                 jnp.int32(sb),
+                jnp.int32(sel_idx),
                 jnp.int32(new_id),
                 jnp.int32(new_len),
                 jnp.int32(max_token_length),
             )
+            # one batched device->host transfer per round
+            dl, dr, overflow = jax.device_get((dl, dr, overflow))
+            if int(overflow):
+                raise RuntimeError(
+                    "site packing overflowed despite count pre-check"
+                )
 
-            # ---- register pairs involving the new token ------------------
-            dl = np.asarray(dl)
-            dr = np.asarray(dr)
-            upd: List[Tuple[int, int, int, int]] = []  # (idx, a, b, delta)
+            upd: List[Tuple[int, int, int, int]] = []
             for x in np.nonzero(dl)[0]:
-                upd.append(
-                    self._register(reg, int(x), new_id, int(dl[x]))
-                )
+                upd.append(self._upsert(reg, int(x), new_id, int(dl[x]), touched))
             for y in np.nonzero(dr)[0]:
-                upd.append(
-                    self._register(reg, new_id, int(y), int(dr[y]))
-                )
-            if upd:
-                for c0 in range(0, len(upd), UPDATE_CAP):
-                    chunk = upd[c0 : c0 + UPDATE_CAP]
+                upd.append(self._upsert(reg, new_id, int(y), int(dr[y]), touched))
+            all_touched = touched[:]
+            touched.clear()
+            if upd or all_touched:
+                n_chunks = -(-max(len(upd), len(all_touched)) // UPDATE_CAP)
+                for c0 in range(n_chunks):
+                    chunk = upd[c0 * UPDATE_CAP : (c0 + 1) * UPDATE_CAP]
+                    tchunk = all_touched[c0 * UPDATE_CAP : (c0 + 1) * UPDATE_CAP]
                     ui = np.full(UPDATE_CAP, p_cap, np.int32)
                     ua = np.zeros(UPDATE_CAP, np.int32)
                     ub = np.zeros(UPDATE_CAP, np.int32)
                     uc = np.zeros(UPDATE_CAP, np.int32)
                     us = np.full(UPDATE_CAP, reg.H, np.int32)
-                    uv = np.zeros(UPDATE_CAP, np.int32)
+                    urow = np.full((UPDATE_CAP, 4), -1, np.int32)
                     for j, (idx, aa, bb, dc) in enumerate(chunk):
                         ui[j] = idx
                         ua[j] = aa
                         ub[j] = bb
                         uc[j] = dc
-                    # slots that changed this round (new inserts only)
-                    snew = [
-                        (s, reg.slots[s])
-                        for s in self._touched_slots
-                    ]
-                    for j, (s, v) in enumerate(snew[:UPDATE_CAP]):
-                        us[j] = s
-                        uv[j] = v
-                    self._touched_slots = []
-                    d_reg_a, d_reg_b, d_count, d_slots = update_jit(
+                    for j, sl in enumerate(tchunk):
+                        us[j] = sl
+                        urow[j] = reg.slot_rows[sl]
+                    d_reg_a, d_reg_b, d_count, d_slot_rows = _apply_updates(
                         d_reg_a,
                         d_reg_b,
                         d_count,
-                        d_slots,
+                        d_slot_rows,
                         jnp.asarray(ui),
                         jnp.asarray(ua),
                         jnp.asarray(ub),
                         jnp.asarray(uc),
                         jnp.asarray(us),
-                        jnp.asarray(uv),
+                        jnp.asarray(urow),
                     )
 
         # ---- finalize ----------------------------------------------------
@@ -244,52 +255,11 @@ class DistributedBpeTrainer:
             model.cache.clear()
         return list(cfg.special_tokens)
 
-    def _register(self, reg: PairRegistry, a: int, b: int, delta: int):
+    def _upsert(self, reg: PairRegistry, a: int, b: int, delta: int, touched):
         """Host registry upsert; returns (idx, a, b, delta) for the device
-        scatter.  New-token pairs are usually fresh, but when the minted token
-        string collides with an existing token id the pair may already exist."""
-        key = (a, b)
-        idx = reg.index.get(key)
+        scatter.  New-token pairs are usually fresh, but when the minted
+        token id collides with an existing token the pair may exist."""
+        idx = reg.index.get((a, b))
         if idx is None:
-            idx = self._insert_tracking(reg, a, b, 0)
+            idx = reg.insert(a, b, 0, touched=touched)
         return (idx, a, b, delta)
-
-    def _insert_tracking(self, reg: PairRegistry, a: int, b: int, c: int) -> int:
-        idx = reg.n
-        if idx >= reg.p_cap:
-            raise RuntimeError("registry capacity exceeded")
-        reg.reg_a[idx] = a
-        reg.reg_b[idx] = b
-        reg.count[idx] = c
-        reg.index[(a, b)] = idx
-        h = int(_hash_pair(np.int32(a), np.int32(b), reg.H - 1))
-        for probe in range(MAXPROBE):
-            s = (h + probe) & (reg.H - 1)
-            if reg.slots[s] < 0:
-                reg.slots[s] = idx
-                self._touched_slots.append(s)
-                break
-        else:
-            raise RuntimeError("probe length exceeded")
-        reg.n += 1
-        return idx
-
-
-def _make_update_fn():
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def update(reg_a, reg_b, count, slots, ui, ua, ub, uc, us, uv):
-        p_cap = reg_a.shape[0]
-        H = slots.shape[0]
-        reg_a = jnp.concatenate([reg_a, jnp.full((1,), -1, jnp.int32)])
-        reg_b = jnp.concatenate([reg_b, jnp.full((1,), -1, jnp.int32)])
-        count = jnp.concatenate([count, jnp.zeros((1,), jnp.int32)])
-        slots = jnp.concatenate([slots, jnp.full((1,), -1, jnp.int32)])
-        reg_a = reg_a.at[ui].set(ua, mode="drop")[:p_cap]
-        reg_b = reg_b.at[ui].set(ub, mode="drop")[:p_cap]
-        count = count.at[ui].add(uc, mode="drop")[:p_cap]
-        slots = slots.at[us].set(uv, mode="drop")[:H]
-        return reg_a, reg_b, count, slots
-
-    return update

@@ -45,8 +45,11 @@ class Tokenizer:
     @classmethod
     def from_str(cls, s: str) -> "Tokenizer":
         from .serialization import tokenizer_from_dict
+        from .utils.serde_float import serde_f64
 
-        return tokenizer_from_dict(json.loads(s))
+        # Floats must be parsed exactly as the reference's serde_json does
+        # (NOT correctly rounded): Unigram ties depend on the last ulp.
+        return tokenizer_from_dict(json.loads(s, parse_float=serde_f64))
 
     @classmethod
     def from_file(cls, path: str) -> "Tokenizer":

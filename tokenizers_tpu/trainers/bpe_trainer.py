@@ -8,6 +8,16 @@ merge application with incremental pair-count deltas, `max_token_length`.
 The data-parallel TPU variant (corpus shards + `psum` pair-count reduction +
 replicated deterministic argmax) lives in `tokenizers_tpu.parallel.bpe_train`;
 it reproduces exactly these merges.
+
+Determinism note: with `continuing_subword_prefix`/`end_of_word_suffix` set,
+the reference mints the derived alphabet ids (e.g. "##t") in `AHashMap`
+iteration order (`trainer.rs:361-365`), which is randomized per process by
+ahash's runtime RNG — so the reference itself is nondeterministic whenever a
+merge tie-break (count equal, compare pair ids) involves those ids; observed
+empirically: three runs, three different merge lists. This implementation
+mints them in first-occurrence order of the (insertion-ordered) word-count
+dict, making it deterministic; conformance on such configs is therefore
+vocab-set equality, not merge-order equality.
 """
 
 from __future__ import annotations
