@@ -114,6 +114,44 @@ def _enumerate_numpy(s: np.ndarray) -> List[Tuple[int, int, int]]:
     return out
 
 
+def build_c_api(force: bool = False) -> str:
+    """Compile the C ABI shared library (c_api.cpp — reference parity with
+    `bindings/c/src/lib.rs`) against the running interpreter's headers.
+
+    Returns the .so path.  External C/C++ programs link against it; it
+    embeds CPython and forwards to this package."""
+    import sysconfig
+
+    src = os.path.join(os.path.dirname(__file__), "c_api.cpp")
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "tokenizers_tpu")
+    os.makedirs(cache, exist_ok=True)
+    sopath = os.path.join(cache, "libtokenizers_tpu_c.so")
+    if (
+        not force
+        and os.path.exists(sopath)
+        and os.path.getmtime(sopath) >= os.path.getmtime(src)
+    ):
+        return sopath
+    inc = sysconfig.get_path("include")
+    libdir = sysconfig.get_config_var("LIBDIR")
+    ver = sysconfig.get_config_var("LDVERSION")
+    cmd = [
+        "g++",
+        "-O2",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        f"-I{inc}",
+        src,
+        "-o",
+        sopath,
+        f"-L{libdir}",
+        f"-lpython{ver}",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return sopath
+
+
 def suffix_substrings(chars: np.ndarray) -> List[Tuple[int, int, int]]:
     """All suffix-tree internal nodes of `chars` (int32 codepoints >= 0):
     list of (offset, char_len, occurrence_count)."""

@@ -12,6 +12,14 @@ def _enable_compilation_cache():
     try:
         import jax
 
+        # The CPU backend serializes AOT executables whose machine-feature
+        # stamps don't survive this fleet's heterogeneous hosts (observed:
+        # SIGILL warnings on load, SIGSEGV in the cache write path).  The
+        # cache only pays off for the remote TPU backend's minutes-long
+        # compiles anyway, so enable it only there.
+        plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        if "cpu" in plats:
+            return
         if jax.config.jax_compilation_cache_dir is None:
             cache_dir = os.path.join(
                 os.path.expanduser("~"), ".cache", "tokenizers_tpu", "jax_cache"

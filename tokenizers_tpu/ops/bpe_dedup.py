@@ -1,0 +1,384 @@
+"""Batch word-dedup BPE encode: merge each distinct word once.
+
+Natural text repeats words heavily (a 2MB batch has ~400k pre-tokenizer
+words but typically only 15-25% distinct), and BPE is a pure per-word
+function, so the merge loop — whose cost on this backend is dominated by
+per-index gather/scatter throughput (~140M idx/s measured) — only needs to
+run over the *unique* words.  This is the batched equivalent of the
+reference's per-word memo cache (`utils/cache.rs`, used at
+`models/bpe/model.rs:475-497`), done in one device program:
+
+  1. `dedup_layout` (always runs, cheap): per-word double rolling hashes
+     via segmented scans, one scatter packing word records
+     `[flat_pos, h1, h2, len]` into a word table, a scatter-min hash table
+     electing the first occurrence of each (h1, h2) as representative, and
+     the unique-buffer offsets.  Produces the `fits` predicate.
+  2. `dedup_finish` (the `lax.cond` fast branch): copy representative
+     bytes into the small unique buffer, run the ordinary
+     `run_merge_phases` there at a fraction of the width, then expand
+     tokens back to the packed per-row output.
+
+TPU shape discipline: every large intermediate is 2D with a few-thousand-
+element minor axis — a single giant row serializes the associative scans
+and wastes the (8, 128) vector tiling (measured 3x slower).  The unique
+buffer is `[Ru, UC]` with words placed at `(uoff // UCEFF, uoff % UCEFF)`;
+the `UC - UCEFF = WORD_CAP` slack guarantees no word crosses a row, with
+only ~13% slot bloat and no sequential bin-packing.  Global cumulative
+sums over 2D arrays are per-row scans plus a tiny row-offset scan
+(`g_excl_cumsum`).
+
+Word identity is two independent 32-bit rolling hashes; two distinct words
+collide with probability ~2^-64 per pair (~1e-9 across a 2MB batch) — the
+same truncated-fingerprint tradeoff the whole-word `ignore_merges` table
+already makes.
+
+When `fits` is false (CJK or random bytes where nearly every word is
+distinct, or pathologically many tiny words), the caller's other branch
+runs the full-width merge — same cost as before this optimization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .bpe_merge2 import WORD_CAP, fill_next, run_merge_phases
+from .merge_table import hash_jnp
+
+INF = np.int32(0x7FFFFFFF)
+H1_MULT = np.uint32(0x01000193)
+H2_MULT = np.uint32(0x0000C597)
+
+
+def buffer_geometry(bl, denom=4):
+    """Static sizes: word-table [Wr, Wc] and unique buffer [Ru, UC].
+
+    `denom` scales the unique-buffer capacity (~bl/denom bytes); the word
+    table is always sized for bl/4 words so `dedup_layout` results can be
+    shared between buffer sizes."""
+    raw = max(bl // 4, 1 << 10)
+    wc = min(4096, 1 << (raw.bit_length() - 1))
+    nw_cap = -(-raw // wc) * wc
+    uraw = max(bl // denom, 1 << 10)
+    uc = min(4096, 1 << (uraw.bit_length() - 1))
+    uceff = uc - min(WORD_CAP, uc // 2)
+    ru = -(-uraw // uceff)
+    return nw_cap, wc, uc, uceff, ru
+
+
+def g_excl_cumsum(x):
+    """Global (row-major) exclusive cumulative sum of a 2D int array."""
+    r = jnp.cumsum(x, axis=1)
+    tot = r[:, -1]
+    roff = jnp.cumsum(tot) - tot
+    return r - x + roff[:, None]
+
+
+def _fill_last(vals, isset):
+    """Per position (per row): the last values at-or-before it where
+    `isset`, plus the set flag.  Values may be any int32."""
+
+    def op(a, b):
+        s1 = a[-1]
+        s2 = b[-1]
+        return tuple(
+            jnp.where(s2, vb, va) for va, vb in zip(a[:-1], b[:-1])
+        ) + (s1 | s2,)
+
+    args = tuple(jnp.where(isset, v, 0) for v in vals) + (isset,)
+    out = jax.lax.associative_scan(op, args, axis=1)
+    return out[:-1], out[-1]
+
+
+def _seg_count_op(a, b):
+    (v1, f1), (v2, f2) = a, b
+    return jnp.where(f2, v2, v1 + v2), f1 | f2
+
+
+def word_hash_heads(b, bnd, inb, mult):
+    """Rolling hash of each word, delivered at the word's head position.
+
+    A forward segmented affine scan puts the full hash at the word's last
+    byte; a log fill copies it back to the head (words longer than
+    WORD_CAP are flagged row_bad upstream and re-encoded on host)."""
+    B, L = b.shape
+
+    def op(x, y):
+        (a1, c1, f1), (a2, c2, f2) = x, y
+        a = jnp.where(f2, a2, a1 * a2)
+        c = jnp.where(f2, c2, c1 * a2 + c2)
+        return a, c, f1 | f2
+
+    a0 = jnp.full((B, L), mult, jnp.uint32)
+    c0 = (b + 1).astype(jnp.uint32)
+    _, h, _ = jax.lax.associative_scan(op, (a0, c0, bnd), axis=1)
+
+    nxt_in = jnp.concatenate([inb[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+    nxt_head = jnp.concatenate([bnd[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    is_end = inb & (nxt_head | ~nxt_in)
+    (he,), fnd = fill_next([h.astype(jnp.int32)], is_end, k_steps=9)
+    return jnp.where(is_end, h.astype(jnp.int32), jnp.where(fnd, he, 0))
+
+
+def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom):
+    """Word records, representative election, unique-buffer layout.
+
+    Returns (fits, ops) where `ops` is the operand tuple for
+    `dedup_finish`."""
+    nw_cap, wc, uc, uceff, ru = geom
+    wr = nw_cap // wc
+    B, L = b.shape
+    BL = B * L
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
+
+    wend = jnp.minimum(nxt_bnd, lengths[:, None])
+    wlen = wend - pos
+    h1 = word_hash_heads(b, bnd, inb, H1_MULT)
+    h2 = word_hash_heads(b, bnd, inb, H2_MULT)
+    fpos = pos + rowi * L
+
+    gwid = g_excl_cumsum(bnd.astype(jnp.int32))
+    nw = jnp.sum(bnd.astype(jnp.int32))
+
+    tgt = jnp.where(bnd, jnp.minimum(gwid, nw_cap), nw_cap).reshape(BL)
+    rec = jnp.stack(
+        [fpos.reshape(BL), h1.reshape(BL), h2.reshape(BL), wlen.reshape(BL)],
+        axis=-1,
+    )
+    wrows = jnp.zeros((nw_cap + 1, 4), jnp.int32).at[tgt].set(rec)[:nw_cap]
+
+    widx2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0) * wc
+        + jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
+    )
+    wvalid = widx2 < nw
+    wpos_w = wrows[:, 0].reshape(wr, wc)
+    wh1 = jnp.where(wvalid, wrows[:, 1].reshape(wr, wc), -1)
+    wh2 = jnp.where(wvalid, wrows[:, 2].reshape(wr, wc), -1)
+    wlen_w = jnp.where(wvalid, wrows[:, 3].reshape(wr, wc), 0)
+
+    S = 1 << max(14, int(nw_cap - 1).bit_length())
+    slot = hash_jnp(wh1, wh2, seed ^ 0x5BD1, S - 1, 0)
+    slot = jnp.where(wvalid, slot, S).reshape(-1)
+    tbl = jnp.full((S + 1,), INF, jnp.int32).at[slot].min(widx2.reshape(-1))
+    winner = tbl[slot].reshape(wr, wc)
+    wrow_win = wrows[jnp.clip(winner, 0, nw_cap - 1).reshape(-1)].reshape(
+        wr, wc, 4
+    )
+    same = (
+        wvalid
+        & (winner < nw_cap)
+        & (wrow_win[..., 1] == wh1)
+        & (wrow_win[..., 2] == wh2)
+    )
+    rep = jnp.where(same, winner, widx2)
+    is_rep = wvalid & (rep == widx2)
+
+    ulen = jnp.where(is_rep, wlen_w, 0)
+    uoff = g_excl_cumsum(ulen)
+    total_u = jnp.sum(ulen)
+    fits = (nw <= nw_cap) & (total_u <= uceff * ru)
+
+    ops = (rep, is_rep, uoff, total_u, wpos_w, wlen_w, wvalid, nw)
+    return fits, ops
+
+
+def layout_fits(ops, geom):
+    """Whether a layout's words/unique bytes fit a (possibly smaller)
+    buffer geometry sharing the same word-table shape."""
+    nw_cap, _wc, _uc, uceff, ru = geom
+    total_u = ops[3]
+    nw = ops[7]
+    return (nw <= nw_cap) & (total_u <= uceff * ru)
+
+
+def dedup_finish(
+    ops,
+    b,
+    byte2id,
+    rows0,
+    rows1,
+    seed,
+    out_w,
+    geom,
+    whole_word=False,
+    ww_rows0=None,
+    ww_rows1=None,
+    ww_seed=0,
+):
+    """The fast branch: encode unique words, expand to per-row output.
+
+    Returns (ids[B, out_w], ntok[B], row_bad[B])."""
+    nw_cap, wc, uc, uceff, ru = geom
+    wr = nw_cap // wc
+    rep, is_rep, uoff, total_u, wpos_w, wlen_w, wvalid, nw = ops
+    B, L = b.shape
+    BL = B * L
+    UFLAT = ru * uc
+
+    # ---- unique byte buffer [ru, uc] ---------------------------------
+    urow = uoff // uceff
+    ucol = uoff - urow * uceff
+    uflat = urow * uc + ucol
+    utgt = jnp.where(is_rep, jnp.minimum(uflat, UFLAT), UFLAT).reshape(-1)
+    head_rec = jnp.stack(
+        [
+            (wpos_w - uflat).reshape(-1),
+            (uflat + wlen_w).reshape(-1),
+            jnp.ones(nw_cap, jnp.int32),
+        ],
+        axis=-1,
+    )
+    head_scat = (
+        jnp.full((UFLAT + 1, 3), -1, jnp.int32).at[utgt].set(head_rec)[:UFLAT]
+    )
+    uhead = (head_scat[:, 2] == 1).reshape(ru, uc)
+    (delta, wend_f), dset = _fill_last(
+        [head_scat[:, 0].reshape(ru, uc), head_scat[:, 1].reshape(ru, uc)],
+        uhead,
+    )
+    upos_f = (
+        jax.lax.broadcasted_iota(jnp.int32, (ru, uc), 0) * uc
+        + jax.lax.broadcasted_iota(jnp.int32, (ru, uc), 1)
+    )
+    src = jnp.clip(delta + upos_f, 0, BL - 1)
+    inb_u = dset & (upos_f < wend_f)
+    b_u = jnp.where(
+        inb_u, b.reshape(-1)[src.reshape(-1)].reshape(ru, uc), 0
+    )
+    wid_u = jnp.where(
+        inb_u, g_excl_cumsum(uhead.astype(jnp.int32)) + uhead - 1, -1
+    )
+
+    # ---- encode it ----------------------------------------------------
+    ids0 = jnp.where(inb_u, byte2id[b_u], -1)
+    if whole_word:
+        uh1 = word_hash_heads(b_u, uhead, inb_u, H1_MULT)
+        uh2 = word_hash_heads(b_u, uhead, inb_u, H2_MULT)
+        wwmask = ww_rows0.shape[0] - 1
+        g0 = hash_jnp(uh1, uh2, ww_seed, wwmask, 0)
+        g1 = hash_jnp(uh1, uh2, ww_seed, wwmask, 1)
+        w0 = ww_rows0[g0]
+        w1 = ww_rows1[g1]
+        hit0 = (w0[..., 0] == uh1) & (w0[..., 1] == uh2)
+        hit1 = (w1[..., 0] == uh1) & (w1[..., 1] == uh2)
+        stored_len = jnp.where(hit0, w0[..., 2], w1[..., 2])
+        stored_id = jnp.where(hit0, w0[..., 3], w1[..., 3])
+        # word length at head = stored exclusive end - head position
+        ulen_at = jnp.where(uhead, wend_f - upos_f, 0)
+        ww_hit = (
+            uhead & (hit0 | hit1) & (stored_len == ulen_at) & (ulen_at > 1)
+        )
+        f = jnp.where(uhead, ww_hit.astype(jnp.int32), -1)
+
+        def op_fill(x, y):
+            (v1,), (v2,) = x, y
+            return (jnp.where(v2 >= 0, v2, v1),)
+
+        (filled,) = jax.lax.associative_scan(op_fill, (f,), axis=1)
+        word_is_hit = (filled == 1) & inb_u
+        ids0 = jnp.where(uhead & ww_hit, stored_id, ids0)
+        ids0 = jnp.where(word_is_hit & ~uhead, -1, ids0)
+
+    ids_u, wid_u2, bad_m, _ = run_merge_phases(ids0, wid_u, rows0, rows1, seed)
+    uw2c = ids_u.shape[1]
+    UF2 = ru * uw2c
+
+    # ---- per-unique-word token counts and start offsets --------------
+    alive = ids_u >= 0
+    tpos = g_excl_cumsum(alive.astype(jnp.int32))
+    seg = wid_u2 != jnp.concatenate(
+        [jnp.full((ru, 1), -2, jnp.int32), wid_u2[:, :-1]], axis=1
+    )
+    k_in, _ = jax.lax.associative_scan(
+        _seg_count_op, (alive.astype(jnp.int32), seg), axis=1
+    )
+    # dead slots from late merges keep their wid, so "last token of word"
+    # must compare against the next *alive* position's wid (words never
+    # cross buffer rows, so per-row fills suffice)
+    (nxt_w,), nfnd = fill_next([wid_u2], alive, k_steps=9)
+    is_last = alive & (~nfnd | (nxt_w != wid_u2))
+    is_first = alive & seg
+
+    wclip = jnp.where(
+        (wid_u2 >= 0) & (wid_u2 < nw_cap), wid_u2, nw_cap
+    ).reshape(-1)
+    tcnt_u = (
+        jnp.zeros((nw_cap + 1,), jnp.int32)
+        .at[jnp.where(is_last.reshape(-1), wclip, nw_cap)]
+        .set(k_in.reshape(-1))[:nw_cap]
+    )
+    t0_u = (
+        jnp.zeros((nw_cap + 1,), jnp.int32)
+        .at[jnp.where(is_first.reshape(-1), wclip, nw_cap)]
+        .set(tpos.reshape(-1))[:nw_cap]
+    )
+    utoks = (
+        jnp.full((UF2 + 1,), -1, jnp.int32)
+        .at[jnp.where(alive.reshape(-1), tpos.reshape(-1), UF2)]
+        .set(ids_u.reshape(-1))[:UF2]
+    )
+
+    # ---- expand to per-row packed output -----------------------------
+    pair = jnp.stack([t0_u, tcnt_u], axis=-1)  # [nw_cap, 2]
+    # wid_u2 counts heads in buffer order == the representative's unique
+    # order == g_excl_cumsum(is_rep) at the representative.
+    uord = g_excl_cumsum(is_rep.astype(jnp.int32))
+    uord_of_rep = uord.reshape(-1)[jnp.clip(rep, 0, nw_cap - 1).reshape(-1)]
+    pr = pair[jnp.clip(uord_of_rep, 0, nw_cap - 1)].reshape(wr, wc, 2)
+    t0_w = pr[..., 0]
+    k_w = jnp.where(wvalid, pr[..., 1], 0)
+
+    roww = jnp.where(wvalid, wpos_w // L, B)
+    # previous word's output row, across the 2D word-table boundary
+    prevw = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [jnp.full((1, 1), -1, jnp.int32), roww[:-1, -1:]], axis=0
+            ),
+            roww[:, :-1],
+        ],
+        axis=1,
+    )
+    rfirst = wvalid & (roww != prevw)
+    G = g_excl_cumsum(k_w)
+    t0row = (
+        jnp.zeros((B + 1,), jnp.int32)
+        .at[jnp.where(rfirst.reshape(-1), roww.reshape(-1), B)]
+        .set(G.reshape(-1))[: B + 1]
+    )
+    ooff = G - t0row[jnp.clip(roww, 0, B)]
+    ntok = (
+        jnp.zeros((B + 1,), jnp.int32)
+        .at[jnp.where(wvalid.reshape(-1), roww.reshape(-1), B)]
+        .max((ooff + k_w).reshape(-1))[:B]
+    )
+
+    otgt = jnp.where(
+        wvalid & (k_w > 0) & (ooff < out_w), roww * out_w + ooff, B * out_w
+    ).reshape(-1)
+    ohead_rec = jnp.stack(
+        [(t0_w - ooff).reshape(-1), jnp.ones(nw_cap, jnp.int32)], axis=-1
+    )
+    ohead = (
+        jnp.full((B * out_w + 1, 2), -1, jnp.int32)
+        .at[otgt]
+        .set(ohead_rec)[: B * out_w]
+    )
+    (od,), odset = _fill_last(
+        [ohead[:, 0].reshape(B, out_w)], (ohead[:, 1] == 1).reshape(B, out_w)
+    )
+    opos = jax.lax.broadcasted_iota(jnp.int32, (B, out_w), 1)
+    osrc = jnp.clip(od + opos, 0, UF2 - 1)
+    in_out = odset & (opos < ntok[:, None])
+    ids_out = jnp.where(
+        in_out, utoks[osrc.reshape(-1)].reshape(B, out_w), -1
+    )
+
+    row_over = ntok > out_w
+    bad_all = jnp.any(bad_m) | jnp.any((ooff + k_w > out_w) & wvalid)
+    ntok = jnp.where(row_over, 0, ntok)
+    return ids_out, ntok, row_over | jnp.broadcast_to(bad_all, (B,))

@@ -52,10 +52,10 @@ from .unicode_tables import (
 INF = np.int32(0x7FFFFFFF)
 
 
-def _shift_prev(x, fill):
-    """x[:, j-1] (row-wise), col 0 <- fill."""
+def _shift_prev(x, fill, k=1):
+    """x[:, j-k] (row-wise), first k cols <- fill."""
     return jnp.concatenate(
-        [jnp.full((x.shape[0], 1), fill, x.dtype), x[:, :-1]], axis=1
+        [jnp.full((x.shape[0], k), fill, x.dtype), x[:, :-k]], axis=1
     )
 
 
@@ -71,10 +71,11 @@ def _shift_next(x, fill, k=1):
 # --------------------------------------------------------------------------
 
 
-def gpt2_boundaries(b, inb, stage1, stage2):
+def gpt2_boundaries(b, inb, cls_table):
     """Match-start mask of the GPT-2 split pattern over packed bytes.
 
     b: int32[B, L] byte values (0 outside text); inb: bool[B, L] in-text mask.
+    cls_table: flat int8[0x110000] codepoint->class table.
     Returns (bnd bool[B,L], is_start bool[B,L]).
     """
     B, L = b.shape
@@ -102,8 +103,7 @@ def gpt2_boundaries(b, inb, stage1, stage2):
     )
     cp = jnp.clip(cp, 0, 0x10FFFF)
 
-    page = stage1[cp >> PAGE_BITS]
-    cls = stage2[(page << PAGE_BITS) | (cp & ((1 << PAGE_BITS) - 1))].astype(jnp.int32)
+    cls = cls_table[cp].astype(jnp.int32)
 
     # forward-fill class over continuation bytes (<= 3 steps)
     f = jnp.where(is_start, cls, -1)
@@ -114,9 +114,15 @@ def gpt2_boundaries(b, inb, stage1, stage2):
     prev_cls = _shift_prev(cls_fill, CLS_END)
     prev_cls = jnp.where(pos == 0, CLS_END, prev_cls)
 
-    next_idx = jnp.clip(pos + charlen, 0, L - 1)
+    # class of the next char: at distance charlen in {1..4} — four shifted
+    # selects instead of a per-index gather (gathers are ~100x an
+    # elementwise op on this backend)
     next_exists = (pos + charlen) < length
-    next_cls_raw = jnp.take_along_axis(cls_fill, next_idx, axis=1)
+    next_cls_raw = _shift_next(cls_fill, -1)
+    for k in (2, 3, 4):
+        next_cls_raw = jnp.where(
+            charlen == k, _shift_next(cls_fill, -1, k), next_cls_raw
+        )
     next_cls = jnp.where(next_exists, next_cls_raw, CLS_END)
 
     # contraction: 's|'t|'re|'ve|'m|'ll|'d at a match-start apostrophe
@@ -227,14 +233,19 @@ def _chain_parity(f, transparent):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("with_word_ids", "boundary", "whole_word", "with_offsets"),
+    static_argnames=(
+        "with_word_ids",
+        "boundary",
+        "whole_word",
+        "with_offsets",
+        "dedup",
+    ),
 )
 def encode_program(
     bytes_u8,
     lengths,
     byte2id,
-    stage1,
-    stage2,
+    cls_table,
     merge_rows0,
     merge_rows1,
     seed,
@@ -245,6 +256,7 @@ def encode_program(
     ww_rows1=None,
     ww_seed=0,
     with_offsets=False,
+    dedup=True,
 ):
     """uint8[B,L] bytes + int32[B] lengths
     -> (ids int32[B, L//2], ntok int32[B], row_bad bool[B]).
@@ -270,11 +282,11 @@ def encode_program(
     b = jnp.where(inb, b, 0)
 
     if boundary == "gpt2":
-        bnd, _ = gpt2_boundaries(b, inb, stage1, stage2)
+        bnd, _ = gpt2_boundaries(b, inb, cls_table)
     else:
         from .llama3_presplit import llama3_boundaries
 
-        bnd, _ = llama3_boundaries(b, inb, stage1, stage2)
+        bnd, _ = llama3_boundaries(b, inb, cls_table)
 
     word_id = jnp.where(inb, jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1, -1)
 
@@ -285,51 +297,126 @@ def encode_program(
     wlen = jnp.minimum(nxt_bnd, lengths[:, None]) - pos  # at word heads
     row_bad = jnp.any(bnd & (wlen > WORD_CAP), axis=1)
 
-    ids0 = jnp.where(inb, byte2id[b], -1)
+    def make_ids0():
+        ids0 = jnp.where(inb, byte2id[b], -1)
 
-    if whole_word:
-        # double rolling hash per word (segmented affine scans)
-        def word_hash(mult):
-            def op(x, y):
-                (a1, c1, f1), (a2, c2, f2) = x, y
-                a = jnp.where(f2, a2, a1 * a2)
-                c = jnp.where(f2, c2, c1 * a2 + c2)
-                return a, c, f1 | f2
+        if whole_word:
+            # double rolling hash per word (segmented affine scans)
+            def word_hash(mult):
+                def op(x, y):
+                    (a1, c1, f1), (a2, c2, f2) = x, y
+                    a = jnp.where(f2, a2, a1 * a2)
+                    c = jnp.where(f2, c2, c1 * a2 + c2)
+                    return a, c, f1 | f2
 
-            a0 = jnp.full((B, L), np.uint32(mult))
-            c0 = (b + 1).astype(jnp.uint32)
-            _, h, _ = jax.lax.associative_scan(op, (a0, c0, bnd), axis=1)
-            return h
+                a0 = jnp.full((B, L), np.uint32(mult))
+                c0 = (b + 1).astype(jnp.uint32)
+                _, h, _ = jax.lax.associative_scan(op, (a0, c0, bnd), axis=1)
+                return h
 
-        h1 = word_hash(0x01000193)
-        h2 = word_hash(0x0000C597)
-        end_pos = jnp.minimum(nxt_bnd, lengths[:, None]) - 1
-        end_cl = jnp.clip(end_pos, 0, L - 1)
-        wh1 = jnp.take_along_axis(h1, end_cl, axis=1).astype(jnp.int32)
-        wh2 = jnp.take_along_axis(h2, end_cl, axis=1).astype(jnp.int32)
-        wlen_b = end_pos - pos + 1
-        wwmask = ww_rows0.shape[0] - 1
-        g0 = hash_jnp(wh1, wh2, ww_seed, wwmask, 0)
-        g1 = hash_jnp(wh1, wh2, ww_seed, wwmask, 1)
-        w0 = ww_rows0[g0]
-        w1 = ww_rows1[g1]
-        hit0 = (w0[..., 0] == wh1) & (w0[..., 1] == wh2)
-        hit1 = (w1[..., 0] == wh1) & (w1[..., 1] == wh2)
-        stored_len = jnp.where(hit0, w0[..., 2], w1[..., 2])
-        stored_id = jnp.where(hit0, w0[..., 3], w1[..., 3])
-        ww_hit = bnd & (hit0 | hit1) & (stored_len == wlen_b) & (wlen_b > 1)
-        # word head takes the vocab id; the rest of the word dies.
-        f = jnp.where(bnd, ww_hit.astype(jnp.int32), -1)
+            h1 = word_hash(0x01000193)
+            h2 = word_hash(0x0000C597)
+            end_pos = jnp.minimum(nxt_bnd, lengths[:, None]) - 1
+            end_cl = jnp.clip(end_pos, 0, L - 1)
+            wh1 = jnp.take_along_axis(h1, end_cl, axis=1).astype(jnp.int32)
+            wh2 = jnp.take_along_axis(h2, end_cl, axis=1).astype(jnp.int32)
+            wlen_b = end_pos - pos + 1
+            wwmask = ww_rows0.shape[0] - 1
+            g0 = hash_jnp(wh1, wh2, ww_seed, wwmask, 0)
+            g1 = hash_jnp(wh1, wh2, ww_seed, wwmask, 1)
+            w0 = ww_rows0[g0]
+            w1 = ww_rows1[g1]
+            hit0 = (w0[..., 0] == wh1) & (w0[..., 1] == wh2)
+            hit1 = (w1[..., 0] == wh1) & (w1[..., 1] == wh2)
+            stored_len = jnp.where(hit0, w0[..., 2], w1[..., 2])
+            stored_id = jnp.where(hit0, w0[..., 3], w1[..., 3])
+            ww_hit = bnd & (hit0 | hit1) & (stored_len == wlen_b) & (wlen_b > 1)
+            # word head takes the vocab id; the rest of the word dies.
+            f = jnp.where(bnd, ww_hit.astype(jnp.int32), -1)
 
-        def op_fill(x, y):
-            (v1,), (v2,) = x, y
-            return (jnp.where(v2 >= 0, v2, v1),)
+            def op_fill(x, y):
+                (v1,), (v2,) = x, y
+                return (jnp.where(v2 >= 0, v2, v1),)
 
-        (filled,) = jax.lax.associative_scan(op_fill, (f,), axis=1)
-        word_is_hit = (filled == 1) & inb
-        ids0 = jnp.where(bnd & ww_hit, stored_id, ids0)
-        ids0 = jnp.where(word_is_hit & ~bnd, -1, ids0)
+            (filled,) = jax.lax.associative_scan(op_fill, (f,), axis=1)
+            word_is_hit = (filled == 1) & inb
+            ids0 = jnp.where(bnd & ww_hit, stored_id, ids0)
+            ids0 = jnp.where(word_is_hit & ~bnd, -1, ids0)
+        return ids0
 
+    if dedup and not with_word_ids and not with_offsets:
+        # word-dedup fast branch: encode each distinct word once
+        # (bpe_dedup.py); falls back to the full-width merge when the
+        # unique buffer or word table would overflow (CJK, random bytes).
+        from .bpe_dedup import (
+            buffer_geometry,
+            dedup_finish,
+            dedup_layout,
+            layout_fits,
+        )
+
+        geom = buffer_geometry(B * L)
+        out_w = max(L // 2, 64)
+        fits, dops = dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom)
+
+        def make_branch_fast(g):
+            def branch_fast(dops):
+                return dedup_finish(
+                    dops,
+                    b,
+                    byte2id,
+                    merge_rows0,
+                    merge_rows1,
+                    seed,
+                    out_w,
+                    g,
+                    whole_word=whole_word,
+                    ww_rows0=ww_rows0,
+                    ww_rows1=ww_rows1,
+                    ww_seed=ww_seed,
+                )
+
+            return branch_fast
+
+        branch_fast = make_branch_fast(geom)
+
+        def branch_full(dops):
+            ids, _w, bad2, _o = run_merge_phases(
+                make_ids0(), word_id, merge_rows0, merge_rows1, seed
+            )
+            alive = ids >= 0
+            k = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
+            ntok = jnp.where(alive, k + 1, 0).max(axis=1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0)
+            scatter_idx = jnp.where(alive, k, out_w)
+            packed = (
+                jnp.full((B, out_w + 1), -1, jnp.int32)
+                .at[rows, scatter_idx]
+                .set(ids)[:, :out_w]
+            )
+            return packed, ntok, bad2
+
+        if B * L >= (1 << 20):
+            # big (TPU-sized) buckets: also compile a small-buffer variant;
+            # highly repetitive batches (the common serving case) run the
+            # whole merge at 1/4 the width again
+            geom_small = buffer_geometry(B * L, denom=16)
+            fits_small = layout_fits(dops, geom_small)
+            branch_small = make_branch_fast(geom_small)
+
+            def branch_rest(dops):
+                return jax.lax.cond(fits, branch_fast, branch_full, dops)
+
+            ids_pk, ntok, badm = jax.lax.cond(
+                fits_small, branch_small, branch_rest, dops
+            )
+        else:
+            ids_pk, ntok, badm = jax.lax.cond(
+                fits, branch_fast, branch_full, dops
+            )
+        return ids_pk, ntok, row_bad | badm
+
+    ids0 = make_ids0()
     obp0 = pos if (with_offsets or with_word_ids) else None
     ids, wid2, bad2, obp2 = run_merge_phases(
         ids0, word_id, merge_rows0, merge_rows1, seed, obp=obp0

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from .bpe_encode import encode_program
 from .engine_base import DeviceEngineBase
 from .merge_table import CuckooMergeTable
-from .unicode_tables import char_class_tables
+from .unicode_tables import char_class_flat
 
 LLAMA3_PATTERN = (
     r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}|"
@@ -64,11 +64,9 @@ class ByteLevelBpeEngine(DeviceEngineBase):
         self.tokenizer = tokenizer
         self.boundary = boundary
         self.add_prefix_space = add_prefix_space
-        stage1, stage2 = char_class_tables()
         # device-resident constants (replicated per chip)
         self.d_byte2id = jnp.asarray(byte2id)
-        self.d_stage1 = jnp.asarray(stage1)
-        self.d_stage2 = jnp.asarray(stage2)
+        self.d_cls = jnp.asarray(char_class_flat())
         self.d_rows0 = jnp.asarray(table.rows(0))
         self.d_rows1 = jnp.asarray(table.rows(1))
         self.seed = jnp.int32(table.seed)
@@ -180,8 +178,7 @@ class ByteLevelBpeEngine(DeviceEngineBase):
     def _program_args(self):
         return dict(
             byte2id=self.d_byte2id,
-            stage1=self.d_stage1,
-            stage2=self.d_stage2,
+            cls_table=self.d_cls,
             merge_rows0=self.d_rows0,
             merge_rows1=self.d_rows1,
             seed=self.seed,

@@ -52,8 +52,10 @@ def _seg_fill_forward(head_val, head, run):
     return out & run
 
 
-def llama3_boundaries(b, inb, stage1, stage2):
-    """Match-start mask over packed bytes. b int32[B,L] (0 outside), inb bool."""
+def llama3_boundaries(b, inb, cls_table):
+    """Match-start mask over packed bytes. b int32[B,L] (0 outside), inb bool.
+
+    cls_table: flat int8[0x110000] codepoint->class table."""
     B, L = b.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     length = jnp.sum(inb.astype(jnp.int32), axis=1, keepdims=True)
@@ -87,8 +89,7 @@ def llama3_boundaries(b, inb, stage1, stage2):
         ),
     )
     cp = jnp.clip(cp, 0, 0x10FFFF)
-    page = stage1[cp >> PAGE_BITS]
-    cls = stage2[(page << PAGE_BITS) | (cp & ((1 << PAGE_BITS) - 1))].astype(jnp.int32)
+    cls = cls_table[cp].astype(jnp.int32)
     cls = jnp.where((b == 0x0A) | (b == 0x0D), CLS_NL, cls)
 
     # forward-fill class and char-start position over continuation bytes
@@ -100,20 +101,25 @@ def llama3_boundaries(b, inb, stage1, stage2):
     cls_fill, start_fill = f, sp
 
     prev_cls = jnp.where(pos == 0, CLS_END, _shift_prev(cls_fill, CLS_END))
-    # class of the char two chars back: the prev char of the prev char's start
-    prev_start = jnp.clip(_shift_prev(start_fill, 0), 0, L - 1)
-    pp_cls_raw = jnp.take_along_axis(
-        jnp.where(pos == 0, CLS_END, _shift_prev(cls_fill, CLS_END)),
-        prev_start,
-        axis=1,
-    )
+    # class of the char two chars back: prev_cls evaluated at the previous
+    # char's start, which is 1..4 bytes back — shifted selects, no gather
+    prev_arr = jnp.where(pos == 0, CLS_END, _shift_prev(cls_fill, CLS_END))
+    d1 = pos - _shift_prev(start_fill, 0)  # distance to prev char start
+    pp_cls_raw = _shift_prev(prev_arr, CLS_END)
+    for k in (2, 3, 4):
+        pp_cls_raw = jnp.where(
+            d1 == k, _shift_prev(prev_arr, CLS_END, k), pp_cls_raw
+        )
     pp_cls = jnp.where(pos <= 1, CLS_END, pp_cls_raw)
 
-    next_idx = jnp.clip(pos + charlen, 0, L - 1)
+    # class of the next char: distance charlen in {1..4} — shifted selects
     next_exists = (pos + charlen) < length
-    next_cls = jnp.where(
-        next_exists, jnp.take_along_axis(cls_fill, next_idx, axis=1), CLS_END
-    )
+    next_cls_raw = _shift_next(cls_fill, -1)
+    for k in (2, 3, 4):
+        next_cls_raw = jnp.where(
+            charlen == k, _shift_next(cls_fill, -1, k), next_cls_raw
+        )
+    next_cls = jnp.where(next_exists, next_cls_raw, CLS_END)
 
     def ws_c(c):
         return (c == CLS_SP) | (c == CLS_WS) | (c == CLS_NL)
@@ -132,14 +138,18 @@ def llama3_boundaries(b, inb, stage1, stage2):
     absorbed_nl = _seg_fill_forward(
         nl_head & (prev_b_cls == CLS_O), nl_head, is_nl_b
     )
-    # digit-run char offsets: chars since the digit run's first char
-    char_idx = jnp.cumsum(is_start.astype(jnp.int32), axis=1)
+    # digit-run char offsets: chars since the digit run's first char —
+    # a segmented count resetting at each run head (no gather)
     dig_start = is_start & (cls == CLS_N) & (prev_cls != CLS_N)
-    m = jnp.where(dig_start, pos, -1)
-    runpos = jax.lax.cummax(m, axis=1)
-    dig_off = char_idx - jnp.take_along_axis(
-        char_idx, jnp.clip(runpos, 0, L - 1), axis=1
+
+    def op_seg(a, bb):
+        (v1, f1), (v2, f2) = a, bb
+        return jnp.where(f2, v2, v1 + v2), f1 | f2
+
+    incl, _ = jax.lax.associative_scan(
+        op_seg, (is_start.astype(jnp.int32), dig_start), axis=1
     )
+    dig_off = incl - 1  # 0 at the run head, garbage outside runs (masked)
 
     # ---- contractions (case-insensitive, ſ folds to s) -------------------
     apo = is_start & (b == 0x27)

@@ -77,3 +77,18 @@ def char_class_tables():
     stage2 = uniq.reshape(-1)
     _cached = (stage1.astype(np.int32), stage2.astype(np.int8))
     return _cached
+
+
+_cached_flat = None
+
+
+def char_class_flat():
+    """Flat int8[0x110000] codepoint->class table.
+
+    One device gather per codepoint instead of the two-stage pair; 1.1MB of
+    device memory is nothing, and gather cost on this backend is per-index,
+    so halving lookups halves the pre-split's gather bill."""
+    global _cached_flat
+    if _cached_flat is None:
+        _cached_flat = _full_class_array().astype(np.int8)
+    return _cached_flat
