@@ -122,8 +122,12 @@ def word_hash_heads(b, bnd, inb, mult):
     return jnp.where(is_end, h.astype(jnp.int32), jnp.where(fnd, he, 0))
 
 
-def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom):
+def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=None):
     """Word records, representative election, unique-buffer layout.
+
+    `cache`: optional (cache_rows [Sc, 4], reset bool scalar) — the
+    persistent word cache; cached words are excluded from the merge
+    buffer entirely.
 
     Returns (fits, ops) where `ops` is the operand tuple for
     `dedup_finish`."""
@@ -177,12 +181,50 @@ def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom):
     rep = jnp.where(same, winner, widx2)
     is_rep = wvalid & (rep == widx2)
 
-    ulen = jnp.where(is_rep, wlen_w, 0)
+    if cache is None:
+        hit = jnp.zeros((wr, wc), bool)
+        ct0 = jnp.zeros((wr, wc), jnp.int32)
+        ccnt = jnp.zeros((wr, wc), jnp.int32)
+        cslot = jnp.zeros((wr, wc), jnp.int32)
+    else:
+        # persistent cross-batch word cache: (h1, h2, tok_start, tok_count)
+        # rows in a direct-mapped table over the same engine seed (stable
+        # across batches).  `reset` voids all hits (in-graph epoch reset).
+        crows, reset = cache
+        Sc = crows.shape[0]
+        cslot = hash_jnp(wh1, wh2, seed ^ 0x9E37, Sc - 1, 0)
+        crow = crows[cslot]
+        hit = (
+            wvalid
+            & ~reset
+            & (crow[..., 0] == wh1)
+            & (crow[..., 1] == wh2)
+        )
+        ct0 = crow[..., 2]
+        ccnt = crow[..., 3]
+
+    in_buf = is_rep & ~hit  # only uncached representatives get merged
+    ulen = jnp.where(in_buf, wlen_w, 0)
     uoff = g_excl_cumsum(ulen)
     total_u = jnp.sum(ulen)
     fits = (nw <= nw_cap) & (total_u <= uceff * ru)
 
-    ops = (rep, is_rep, uoff, total_u, wpos_w, wlen_w, wvalid, nw)
+    ops = (
+        rep,
+        in_buf,
+        uoff,
+        total_u,
+        wpos_w,
+        wlen_w,
+        wvalid,
+        nw,
+        hit,
+        ct0,
+        ccnt,
+        cslot,
+        wh1,
+        wh2,
+    )
     return fits, ops
 
 
@@ -208,13 +250,36 @@ def dedup_finish(
     ww_rows0=None,
     ww_rows1=None,
     ww_seed=0,
+    cache_state=None,
 ):
     """The fast branch: encode unique words, expand to per-row output.
 
-    Returns (ids[B, out_w], ntok[B], row_bad[B])."""
+    `cache_state`: optional (crows [Sc, 4], cbuf [CAP+1], p scalar) — the
+    persistent word cache, already epoch-reset by the caller.  Newly merged
+    words are appended to `cbuf` and registered in `crows` (direct-mapped,
+    last-writer-wins; slot-collision losers simply stay uncached), and the
+    output expansion reads every word's tokens from `cbuf`.
+
+    Returns (ids[B, out_w], ntok[B], row_bad[B]) and, when caching,
+    (crows', cbuf', p')."""
     nw_cap, wc, uc, uceff, ru = geom
     wr = nw_cap // wc
-    rep, is_rep, uoff, total_u, wpos_w, wlen_w, wvalid, nw = ops
+    (
+        rep,
+        in_buf,
+        uoff,
+        total_u,
+        wpos_w,
+        wlen_w,
+        wvalid,
+        nw,
+        hit,
+        ct0,
+        ccnt,
+        cslot,
+        wh1,
+        wh2,
+    ) = ops
     B, L = b.shape
     BL = B * L
     UFLAT = ru * uc
@@ -223,7 +288,7 @@ def dedup_finish(
     urow = uoff // uceff
     ucol = uoff - urow * uceff
     uflat = urow * uc + ucol
-    utgt = jnp.where(is_rep, jnp.minimum(uflat, UFLAT), UFLAT).reshape(-1)
+    utgt = jnp.where(in_buf, jnp.minimum(uflat, UFLAT), UFLAT).reshape(-1)
     head_rec = jnp.stack(
         [
             (wpos_w - uflat).reshape(-1),
@@ -316,21 +381,58 @@ def dedup_finish(
         .at[jnp.where(is_first.reshape(-1), wclip, nw_cap)]
         .set(tpos.reshape(-1))[:nw_cap]
     )
-    utoks = (
-        jnp.full((UF2 + 1,), -1, jnp.int32)
-        .at[jnp.where(alive.reshape(-1), tpos.reshape(-1), UF2)]
-        .set(ids_u.reshape(-1))[:UF2]
-    )
+    # ---- token storage: batch-local buffer, or the persistent cache --
+    ok_ins = ~jnp.any(bad_m)
+    if cache_state is None:
+        utoks = (
+            jnp.full((UF2 + 1,), -1, jnp.int32)
+            .at[jnp.where(alive.reshape(-1), tpos.reshape(-1), UF2)]
+            .set(ids_u.reshape(-1))[:UF2]
+        )
+        tok_src = utoks
+        tok_base = jnp.int32(0)
+        src_cap = UF2
+        new_state = None
+    else:
+        crows, cbuf, p = cache_state
+        Sc = crows.shape[0]
+        CAP = cbuf.shape[0] - 1
+        # append this batch's merged tokens
+        ttgt = jnp.where(
+            alive & ok_ins, jnp.minimum(p + tpos, CAP), CAP
+        ).reshape(-1)
+        cbuf = cbuf.at[ttgt].set(ids_u.reshape(-1))
+        tok_src = cbuf
+        tok_base = p
+        src_cap = CAP
+        new_tok = jnp.sum(alive.astype(jnp.int32))
 
     # ---- expand to per-row packed output -----------------------------
     pair = jnp.stack([t0_u, tcnt_u], axis=-1)  # [nw_cap, 2]
     # wid_u2 counts heads in buffer order == the representative's unique
-    # order == g_excl_cumsum(is_rep) at the representative.
-    uord = g_excl_cumsum(is_rep.astype(jnp.int32))
+    # order among *merged* (uncached) representatives.
+    uord = g_excl_cumsum(in_buf.astype(jnp.int32))
     uord_of_rep = uord.reshape(-1)[jnp.clip(rep, 0, nw_cap - 1).reshape(-1)]
     pr = pair[jnp.clip(uord_of_rep, 0, nw_cap - 1)].reshape(wr, wc, 2)
-    t0_w = pr[..., 0]
-    k_w = jnp.where(wvalid, pr[..., 1], 0)
+    # hit words read from the cache rows; merged words from this batch's
+    # freshly appended span (tok_base + local offset)
+    t0_w = jnp.where(hit, ct0, tok_base + pr[..., 0])
+    k_w = jnp.where(wvalid, jnp.where(hit, ccnt, pr[..., 1]), 0)
+
+    if cache_state is not None:
+        # register merged representatives (overlong words excluded: their
+        # rolling hash is truncated and unreliable)
+        ins_ok = in_buf & ok_ins & (wlen_w <= WORD_CAP)
+        prw0 = pair[jnp.clip(uord, 0, nw_cap - 1).reshape(-1)].reshape(
+            wr, wc, 2
+        )
+        stgt = jnp.where(ins_ok, cslot, Sc).reshape(-1)
+        rowvals = jnp.stack(
+            [wh1, wh2, tok_base + prw0[..., 0], prw0[..., 1]], axis=-1
+        ).reshape(-1, 4)
+        crows = crows.at[stgt].set(rowvals, mode="drop")
+        p2 = p + jnp.where(ok_ins, new_tok, 0)
+        new_state = (crows, cbuf, p2)
 
     roww = jnp.where(wvalid, wpos_w // L, B)
     # previous word's output row, across the 2D word-table boundary
@@ -372,13 +474,16 @@ def dedup_finish(
         [ohead[:, 0].reshape(B, out_w)], (ohead[:, 1] == 1).reshape(B, out_w)
     )
     opos = jax.lax.broadcasted_iota(jnp.int32, (B, out_w), 1)
-    osrc = jnp.clip(od + opos, 0, UF2 - 1)
+    osrc = jnp.clip(od + opos, 0, src_cap - 1)
     in_out = odset & (opos < ntok[:, None])
     ids_out = jnp.where(
-        in_out, utoks[osrc.reshape(-1)].reshape(B, out_w), -1
+        in_out, tok_src[osrc.reshape(-1)].reshape(B, out_w), -1
     )
 
     row_over = ntok > out_w
     bad_all = jnp.any(bad_m) | jnp.any((ooff + k_w > out_w) & wvalid)
     ntok = jnp.where(row_over, 0, ntok)
-    return ids_out, ntok, row_over | jnp.broadcast_to(bad_all, (B,))
+    row_bad = row_over | jnp.broadcast_to(bad_all, (B,))
+    if cache_state is None:
+        return ids_out, ntok, row_bad
+    return (ids_out, ntok, row_bad), new_state

@@ -239,7 +239,9 @@ def _chain_parity(f, transparent):
         "whole_word",
         "with_offsets",
         "dedup",
+        "word_cache",
     ),
+    donate_argnames=("cache_rows", "cache_buf", "cache_p"),
 )
 def encode_program(
     bytes_u8,
@@ -257,6 +259,10 @@ def encode_program(
     ww_seed=0,
     with_offsets=False,
     dedup=True,
+    word_cache=False,
+    cache_rows=None,
+    cache_buf=None,
+    cache_p=None,
 ):
     """uint8[B,L] bytes + int32[B] lengths
     -> (ids int32[B, L//2], ntok int32[B], row_bad bool[B]).
@@ -357,11 +363,26 @@ def encode_program(
 
         geom = buffer_geometry(B * L)
         out_w = max(L // 2, 64)
-        fits, dops = dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom)
+        if word_cache:
+            # persistent cross-batch word cache (engine-held device state);
+            # when the token buffer could overflow this batch, reset the
+            # epoch in-graph: void all hits, zero the table, rewind p.
+            CAP = cache_buf.shape[0] - 1
+            reset = cache_p + jnp.int32((B * L) // 2) > CAP
+            crows_eff = jnp.where(reset, 0, cache_rows)
+            p_eff = jnp.where(reset, jnp.int32(0), cache_p)
+            cache = (crows_eff, reset)
+            cstate = (crows_eff, cache_buf, p_eff)
+        else:
+            cache = None
+            cstate = None
+        fits, dops = dedup_layout(
+            b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=cache
+        )
 
         def make_branch_fast(g):
             def branch_fast(dops):
-                return dedup_finish(
+                r = dedup_finish(
                     dops,
                     b,
                     byte2id,
@@ -374,7 +395,9 @@ def encode_program(
                     ww_rows0=ww_rows0,
                     ww_rows1=ww_rows1,
                     ww_seed=ww_seed,
+                    cache_state=cstate,
                 )
+                return r if word_cache else (r, ())
 
             return branch_fast
 
@@ -394,7 +417,7 @@ def encode_program(
                 .at[rows, scatter_idx]
                 .set(ids)[:, :out_w]
             )
-            return packed, ntok, bad2
+            return (packed, ntok, bad2), (cstate if word_cache else ())
 
         if B * L >= (1 << 20):
             # big (TPU-sized) buckets: also compile a small-buffer variant;
@@ -407,13 +430,15 @@ def encode_program(
             def branch_rest(dops):
                 return jax.lax.cond(fits, branch_fast, branch_full, dops)
 
-            ids_pk, ntok, badm = jax.lax.cond(
+            (ids_pk, ntok, badm), st = jax.lax.cond(
                 fits_small, branch_small, branch_rest, dops
             )
         else:
-            ids_pk, ntok, badm = jax.lax.cond(
+            (ids_pk, ntok, badm), st = jax.lax.cond(
                 fits, branch_fast, branch_full, dops
             )
+        if word_cache:
+            return ids_pk, ntok, row_bad | badm, st
         return ids_pk, ntok, row_bad | badm
 
     ids0 = make_ids0()

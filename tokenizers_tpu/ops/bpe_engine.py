@@ -80,6 +80,13 @@ class ByteLevelBpeEngine(DeviceEngineBase):
         else:
             self.whole_word = False
             self.d_ww = dict(ww_rows0=None, ww_rows1=None)
+        # persistent cross-batch word cache (device arrays), lazily built;
+        # guarded because async_encode may drive the engine from threads
+        # and the cache buffers are donated to each program call
+        import threading
+
+        self._wc = None
+        self._wc_lock = threading.Lock()
 
     # ------------------------------------------------------------------ build
 
@@ -167,8 +174,43 @@ class ByteLevelBpeEngine(DeviceEngineBase):
 
     supports_offsets = True
 
+    # persistent word-cache sizing: 1M direct-mapped rows (16MB) + a 16M
+    # token append buffer (64MB); an in-graph epoch reset recycles both
+    WC_SLOTS = 1 << 20
+    WC_CAP = 1 << 24
+
+    def _ensure_cache(self):
+        if self._wc is None:
+            self._wc = [
+                jnp.zeros((self.WC_SLOTS, 4), jnp.int32),
+                jnp.full((self.WC_CAP + 1,), -1, jnp.int32),
+                jnp.zeros((), jnp.int32),
+            ]
+        return self._wc
+
     def _program(self, buf, lengths):
-        return encode_program(buf, lengths, **self._program_args())
+        import jax
+
+        sharded = (
+            isinstance(buf, jax.Array) and len(buf.sharding.device_set) > 1
+        )
+        if sharded:
+            # mesh path: SPMD over shards; per-chip mutable cache state is
+            # not threaded through shard_map (each chip would diverge)
+            return encode_program(buf, lengths, **self._program_args())
+        with self._wc_lock:
+            st = self._ensure_cache()
+            ids, ntok, bad, st2 = encode_program(
+                buf,
+                lengths,
+                word_cache=True,
+                cache_rows=st[0],
+                cache_buf=st[1],
+                cache_p=st[2],
+                **self._program_args(),
+            )
+            self._wc = list(st2)
+        return ids, ntok, bad
 
     def _program_offsets(self, buf, lengths):
         return encode_program(
