@@ -214,8 +214,16 @@ def test_serialization_round_trip(style):
 def test_pretokenized_input():
     ref, mine = _bert_style(True), _bert_style(False)
     words = ["hello", "world", "unbelievable"]
-    em = mine.encode(words)
+    em = mine.encode(words, is_pretokenized=True)
     er = ref.encode(words, is_pretokenized=True)
+    # a list without is_pretokenized=True must be rejected, like the
+    # reference binding (`tokenizer.rs:1070`: TextInputSequence must be str)
+    import pytest
+
+    with pytest.raises(TypeError):
+        mine.encode(words)
+    with pytest.raises(Exception):
+        ref.encode(words)
     assert_encodings_equal(em, er, words)
 
 

@@ -17,6 +17,30 @@ class Decoder:
     def decode_chain(self, tokens: List[str]) -> List[str]:
         raise NotImplementedError
 
+    @staticmethod
+    def custom(obj) -> "CustomDecoder":
+        """Wrap a user object with a `decode(List[str]) -> str` method
+        (reference `bindings/python/src/decoders.rs`).  Host-only and
+        non-serializable."""
+        return CustomDecoder(obj)
+
+
+class CustomDecoder(Decoder):
+    def __init__(self, obj):
+        if not callable(getattr(obj, "decode", None)):
+            raise TypeError(
+                "custom decoder must have a decode(List[str]) -> str method"
+            )
+        self.obj = obj
+
+    def decode(self, tokens: List[str]) -> str:
+        return self.obj.decode(tokens)
+
+    def decode_chain(self, tokens: List[str]) -> List[str]:
+        if callable(getattr(self.obj, "decode_chain", None)):
+            return self.obj.decode_chain(tokens)
+        return [self.obj.decode(tokens)]
+
 
 class Sequence(Decoder):
     def __init__(self, decoders: List[Decoder]):

@@ -427,7 +427,14 @@ char *tokenizers_get_vocab(const CTokenizer *tokenizer, bool with_added,
     set_status(status, 3);
     return nullptr;
   }
-  char *out = dup_cstring(PyUnicode_AsUTF8(dumped));
+  const char *utf8 = PyUnicode_AsUTF8(dumped);
+  if (utf8 == nullptr) {
+    Py_DECREF(dumped);
+    set_last_error("tokenizers_get_vocab: UTF-8 conversion failed");
+    set_status(status, 3);
+    return nullptr;
+  }
+  char *out = dup_cstring(utf8);
   Py_DECREF(dumped);
   clear_last_error();
   set_status(status, 0);
@@ -449,7 +456,14 @@ char *tokenizers_get_config(const CTokenizer *tokenizer, bool pretty,
     set_status(status, 2);
     return nullptr;
   }
-  char *out = dup_cstring(PyUnicode_AsUTF8(r));
+  const char *utf8 = PyUnicode_AsUTF8(r);
+  if (utf8 == nullptr) {
+    Py_DECREF(r);
+    set_last_error("tokenizers_get_config: UTF-8 conversion failed");
+    set_status(status, 3);
+    return nullptr;
+  }
+  char *out = dup_cstring(utf8);
   Py_DECREF(r);
   clear_last_error();
   set_status(status, 0);

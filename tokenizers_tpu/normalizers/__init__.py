@@ -23,6 +23,26 @@ class Normalizer:
         self.normalize(n)
         return n.get()
 
+    @staticmethod
+    def custom(obj) -> "CustomNormalizer":
+        """Wrap a user object with a `normalize(NormalizedString)` method as
+        a pipeline normalizer (reference `bindings/python/src/normalizers.rs:
+        146,634-679`).  Custom components are host-only (never compiled to a
+        device engine) and non-serializable (`Tokenizer.save` fails)."""
+        return CustomNormalizer(obj)
+
+
+class CustomNormalizer(Normalizer):
+    def __init__(self, obj):
+        if not callable(getattr(obj, "normalize", None)):
+            raise TypeError(
+                "custom normalizer must have a normalize(NormalizedString) method"
+            )
+        self.obj = obj
+
+    def normalize(self, normalized: NormalizedString) -> None:
+        self.obj.normalize(normalized)
+
 
 class Sequence(Normalizer):
     """Chain normalizers (reference `normalizers/utils.rs:11`)."""

@@ -244,6 +244,7 @@ def dedup_finish(
     rows0,
     rows1,
     seed,
+    mclr,
     out_w,
     geom,
     whole_word=False,
@@ -348,7 +349,9 @@ def dedup_finish(
         ids0 = jnp.where(uhead & ww_hit, stored_id, ids0)
         ids0 = jnp.where(word_is_hit & ~uhead, -1, ids0)
 
-    ids_u, wid_u2, bad_m, _ = run_merge_phases(ids0, wid_u, rows0, rows1, seed)
+    ids_u, wid_u2, bad_m, _ = run_merge_phases(
+        ids0, wid_u, rows0, rows1, seed, mclr
+    )
     uw2c = ids_u.shape[1]
     UF2 = ru * uw2c
 

@@ -251,6 +251,7 @@ def encode_program(
     merge_rows0,
     merge_rows1,
     seed,
+    merge_mclr=None,
     with_word_ids=False,
     boundary="gpt2",
     whole_word=False,
@@ -389,6 +390,7 @@ def encode_program(
                     merge_rows0,
                     merge_rows1,
                     seed,
+                    merge_mclr,
                     out_w,
                     g,
                     whole_word=whole_word,
@@ -405,7 +407,8 @@ def encode_program(
 
         def branch_full(dops):
             ids, _w, bad2, _o = run_merge_phases(
-                make_ids0(), word_id, merge_rows0, merge_rows1, seed
+                make_ids0(), word_id, merge_rows0, merge_rows1, seed,
+                merge_mclr,
             )
             alive = ids >= 0
             k = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
@@ -444,7 +447,7 @@ def encode_program(
     ids0 = make_ids0()
     obp0 = pos if (with_offsets or with_word_ids) else None
     ids, wid2, bad2, obp2 = run_merge_phases(
-        ids0, word_id, merge_rows0, merge_rows1, seed, obp=obp0
+        ids0, word_id, merge_rows0, merge_rows1, seed, merge_mclr, obp=obp0
     )
     row_bad = row_bad | bad2
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from .bpe_encode import encode_program
 from .engine_base import DeviceEngineBase
-from .merge_table import CuckooMergeTable
+from .merge_table import CuckooMergeTable, consume_mins
 from .unicode_tables import char_class_flat
 
 LLAMA3_PATTERN = (
@@ -57,6 +57,7 @@ class ByteLevelBpeEngine(DeviceEngineBase):
         tokenizer,
         byte2id: np.ndarray,
         table: CuckooMergeTable,
+        mclr: np.ndarray,
         boundary: str,
         add_prefix_space: bool,
         ww_table: Optional[CuckooMergeTable] = None,
@@ -69,6 +70,7 @@ class ByteLevelBpeEngine(DeviceEngineBase):
         self.d_cls = jnp.asarray(char_class_flat())
         self.d_rows0 = jnp.asarray(table.rows(0))
         self.d_rows1 = jnp.asarray(table.rows(1))
+        self.d_mclr = jnp.asarray(mclr)
         self.seed = jnp.int32(table.seed)
         if ww_table is not None:
             self.whole_word = True
@@ -140,6 +142,11 @@ class ByteLevelBpeEngine(DeviceEngineBase):
             byte2id[bb] = id
 
         table = CuckooMergeTable(m.merges)
+        n_ids = max(
+            [m.get_vocab_size()]
+            + [nid + 1 for (_r, nid) in m.merges.values()]
+        )
+        mclr = consume_mins(m.merges, n_ids)
 
         ww_table = None
         if m.ignore_merges:
@@ -167,7 +174,8 @@ class ByteLevelBpeEngine(DeviceEngineBase):
             ww_table = CuckooMergeTable(entries)
 
         return ByteLevelBpeEngine(
-            tokenizer, byte2id, table, boundary, add_prefix_space, ww_table
+            tokenizer, byte2id, table, mclr, boundary, add_prefix_space,
+            ww_table,
         )
 
     # ----------------------------------------------------------------- encode
@@ -223,6 +231,7 @@ class ByteLevelBpeEngine(DeviceEngineBase):
             cls_table=self.d_cls,
             merge_rows0=self.d_rows0,
             merge_rows1=self.d_rows1,
+            merge_mclr=self.d_mclr,
             seed=self.seed,
             boundary=self.boundary,
             whole_word=self.whole_word,

@@ -120,28 +120,107 @@ def lookup_pairs(a, b, rows0, rows1, seed):
     return r, nw
 
 
-def merge_round(ids, wid, seg, rows0, rows1, seed, k_steps=FILL_K):
+def _fill_last_vals(vals, isset, reverse=False):
+    """Per position (per row): the values at the last position at-or-before
+    it where `isset` (at-or-after when reverse; undefined where no such
+    position exists)."""
+
+    def op(a, b):
+        s2 = b[-1]
+        return tuple(
+            jnp.where(s2, vb, va) for va, vb in zip(a[:-1], b[:-1])
+        ) + (a[-1] | s2,)
+
+    args = tuple(jnp.where(isset, v, 0) for v in vals) + (isset,)
+    out = jax.lax.associative_scan(op, args, axis=1, reverse=reverse)
+    return out[:-1]
+
+
+def merge_round(ids, wid, seg, rows0, rows1, seed, mclr, k_steps=FILL_K):
     """One merge round on (ids, wid); ids -1 = dead. Returns (ids, any_f).
+
+    Merges the full *safe set* of pairs, not just each word's minimum-rank
+    pair.  A candidate pair p = (L, R) with rank r, neighbor tokens P (left)
+    and N (right) can only be destroyed before its turn by a merge that
+    consumes L or R:
+
+      * the direct neighbor pair (P, L) at its current rank r_prev, or
+        (R, N) at r_next;
+      * a merge (X, L) where X was assembled over P — by the well-formed-
+        table property (every merge consuming a token ranks strictly above
+        the merge that produced it; the original min-rank rule relies on
+        the same property), its rank is > the rank of the first merge
+        consuming P, hence >= MCL(P) + 1 where MCL(t) = min rank over
+        table merges (., t);
+      * symmetrically, a merge (R, Y) with Y assembled over N has rank
+        >= MCR(N) + 1, MCR(t) = min rank over merges (t, .).
+
+    With the reference's (rank, pos) order — lower rank first, leftmost
+    wins ties — p is inevitable iff r < r_prev, r <= MCL(P), r < r_next and
+    r <= MCR(N) + 1.  Equal ranks occur only for the *same* pair (ranks are
+    unique per table), i.e. runs of consecutive identical pairs: a run
+    merges at odd ordinals (leftmost-first parity), gated by its head's
+    left-safety and its tail's right-safety, so a threatened boundary
+    blocks the whole run (sequential would re-seat the parity).  Each
+    word's minimum-rank pair is merged as well (it is trivially safe
+    against the *word's* future, though table-global MCL/MCR may not know
+    it), so every round makes progress.  The merged set is bit-identical
+    to the reference's sequential heap order, in far fewer rounds.
+
+    `mclr`: int32[V, 2] per-token (MCL, MCR) from `merge_table.consume_mins`.
 
     (A cached-rank delta-refresh variant was tried and measured *slower* on
     this backend — the extra loop state and lax.cond overhead exceeded the
     saved gather elements — so every round does the full two-row-gather
     lookup.)"""
+    BIG = np.int32(0x3FFFFFF0)
+    V = mclr.shape[0]
     alive = ids >= 0
-    (nid, nwid), nfnd = fill_next([ids, wid], alive, k_steps)
+    own = mclr[jnp.clip(ids, 0, V - 1)]
+    mcl_own = jnp.where(alive, own[..., 0], INF)
+    mcr_own = jnp.where(alive, own[..., 1], INF)
+
+    (nid, nwid, nmcr), nfnd = fill_next([ids, wid, mcr_own], alive, k_steps)
     valid = alive & nfnd & (nwid == wid)
 
     r, new_id = lookup_pairs(ids, nid, rows0, rows1, seed)
     r = jnp.where(valid, r, INF)
+    cand = valid & (r < INF)
+
+    # next pair's (rank, validity, MCR(N)) seen from each pair position
+    (nr, nvalid, nnmcr), _ = fill_next(
+        [r, valid.astype(jnp.int32), nmcr], alive, k_steps
+    )
+    # prev pair's rank / word / MCL(P)
+    (pr, pw, pmcl), pfound = fill_prev([r, wid, mcl_own], alive, k_steps)
+    prev_in_word = pfound & (pw == wid)
+
+    # equal-rank run structure (ranks unique => equal rank == same pair)
+    same_run_prev = cand & prev_in_word & (pr == r)
+    run_start = cand & ~same_run_prev
+    has_next_pair = valid & nfnd & (nvalid == 1)
+    same_run_next = cand & has_next_pair & (nr == r)
+    tail = cand & ~same_run_next
+
+    head_ok = run_start & (
+        ~prev_in_word | ((r < pr) & (r <= pmcl))
+    )
+    tail_ok = tail & (r < nr) & (
+        ~has_next_pair | (r <= jnp.minimum(nnmcr, BIG) + 1)
+    )
+
+    # broadcast head/tail safety over each run; run-local parity
+    q = _seg_count(cand, seg)
+    hl, q_head = _fill_last_vals([head_ok.astype(jnp.int32), q], run_start)
+    (tl,) = _fill_last_vals([tail_ok.astype(jnp.int32)], tail, reverse=True)
+    parity_odd = (q - q_head) % 2 == 0
 
     wmin = _seg_min(r, seg)
-    f = valid & (r < INF) & (r == wmin)
-    cnt = _seg_count(f, alive & ~f)
-    merge = f & (cnt % 2 == 1)
+    f = cand & parity_odd & ((r == wmin) | ((hl == 1) & (tl == 1)))
 
-    (pm,), pfnd = fill_prev([merge.astype(jnp.int32)], alive, k_steps)
+    (pm,), pfnd = fill_prev([f.astype(jnp.int32)], alive, k_steps)
     kill = alive & pfnd & (pm == 1)
-    ids = jnp.where(merge, new_id, ids)
+    ids = jnp.where(f, new_id, ids)
     ids = jnp.where(kill, -1, ids)
     return ids, jnp.any(f)
 
@@ -174,7 +253,9 @@ def _seg_of(wid):
     return wid != _shift_prev(wid, -2)
 
 
-def run_merge_phases(ids, wid, rows0, rows1, seed, phase1_rounds=6, obp=None):
+def run_merge_phases(
+    ids, wid, rows0, rows1, seed, mclr, phase1_rounds=4, obp=None
+):
     """Full merge to completion: fixed rounds at input width (growing fill
     depths — round r's gaps are < 2^r), compact to half width, then loop
     until no word has a mergeable pair. Returns (ids, wid, row_bad, obp').
@@ -185,7 +266,9 @@ def run_merge_phases(ids, wid, rows0, rows1, seed, phase1_rounds=6, obp=None):
 
     seg = _seg_of(wid)
     for r in range(phase1_rounds):
-        ids, _ = merge_round(ids, wid, seg, rows0, rows1, seed, k_steps=r + 1)
+        ids, _ = merge_round(
+            ids, wid, seg, rows0, rows1, seed, mclr, k_steps=r + 1
+        )
 
     w2 = max(W // 2, 64)
     extras = (obp,) if obp is not None else ()
@@ -197,7 +280,7 @@ def run_merge_phases(ids, wid, rows0, rows1, seed, phase1_rounds=6, obp=None):
 
     def body(state):
         ids, _ = state
-        return merge_round(ids, wid2, seg2, rows0, rows1, seed)
+        return merge_round(ids, wid2, seg2, rows0, rows1, seed, mclr)
 
     ids, _ = jax.lax.while_loop(cond, body, (ids, jnp.array(True)))
     obp2 = extras[0] if obp is not None else None

@@ -300,10 +300,32 @@ class DeviceEngineBase:
 
     def encode_batch_arrays(self, inputs: List[str]):
         """Device-resident (ids, ntok, orig_indices) per packed chunk — the
-        serving path: token ids never leave the device."""
-        byte_strings = [self._prepare(s) for s in inputs]
+        serving path: token ids never leave the device.
+
+        Long documents are split at tokenization-safe seams like
+        `encode_batch`, so one input may appear in several chunks (its
+        per-chunk token streams concatenate exactly, in orig order).  An
+        oversized input with no safe seam raises ValueError — this path
+        has no host fallback by design."""
+        byte_strings: List[bytes] = []
+        owners: List[int] = []
+        for i, s in enumerate(inputs):
+            data = self._prepare(s)
+            if len(data) > MAX_L // 2:
+                chunks = split_long(data, CHUNK_TARGET)
+                if len(chunks) == 1:
+                    raise ValueError(
+                        f"input {i} is {len(data)} bytes with no "
+                        f"tokenization-safe split seam (> MAX_L//2 = "
+                        f"{MAX_L // 2}); use encode_batch for host fallback"
+                    )
+            else:
+                chunks = [data]
+            for c in chunks:
+                byte_strings.append(c)
+                owners.append(i)
         out = []
         for buf, lengths, orig in pack_batch(byte_strings):
             ids, ntok, row_bad = self._program(buf, lengths)
-            out.append((ids, ntok, orig))
+            out.append((ids, ntok, [owners[j] for j in orig]))
         return out

@@ -116,6 +116,27 @@ class CuckooMergeTable:
         return out_rank, out_new
 
 
+def consume_mins(
+    merges: Dict[Tuple[int, int], Tuple[int, int]], n_ids: int
+) -> np.ndarray:
+    """Per-token minimum consuming ranks, [n_ids, 2] int32:
+
+        [:, 0] = MCL(t) = min rank over merges (x, t)  (t as right member)
+        [:, 1] = MCR(t) = min rank over merges (t, y)  (t as left member)
+
+    INF (0x7FFFFFFF) where no such merge exists.  Used by the safe-set
+    merge round (`bpe_merge2.merge_round`) to bound the rank of any future
+    merge that could consume a pair's neighbor tokens."""
+    INF32 = np.int32(0x7FFFFFFF)
+    out = np.full((n_ids, 2), INF32, dtype=np.int32)
+    for (a, b), (r, _nid) in merges.items():
+        if 0 <= b < n_ids and r < out[b, 0]:
+            out[b, 0] = r
+        if 0 <= a < n_ids and r < out[a, 1]:
+            out[a, 1] = r
+    return out
+
+
 def hash_jnp(a, b, seed: int, mask: int, which: int):
     """Same hash as `_hash`, in jax.numpy (uint32 wraparound semantics)."""
     import jax.numpy as jnp

@@ -34,7 +34,9 @@ def pack_batch(
     byte_strings: Sequence[bytes],
 ) -> List[Tuple[np.ndarray, np.ndarray, List[int]]]:
     """Group byte strings into (bytes u8[B,L], lengths i32[B], orig_indices)
-    chunks. Strings longer than MAX_L are not returned (caller must check)."""
+    chunks.  Every input is returned — `bucket_length` keeps doubling past
+    MAX_L, so callers wanting the MAX_L bound must pre-split or reject
+    oversized strings themselves (see DeviceEngineBase.encode_batch)."""
     buckets = {}
     for i, s in enumerate(byte_strings):
         L = bucket_length(len(s))

@@ -83,6 +83,7 @@ class UnigramEngine(DeviceEngineBase):
             return None
 
         entries = {}
+        key_bytes = {}
         max_len = 4
         for i, (piece, score) in enumerate(m.vocab):
             bs = piece.encode("utf-8")
@@ -91,10 +92,14 @@ class UnigramEngine(DeviceEngineBase):
             k1 = int(np.int32(_roll(bs, H1_MULT)))
             k2 = int(np.int32(_roll(bs, H2_MULT)))
             if (k1, k2) in entries:
-                # duplicate piece string: the reference keeps the first
-                # occurrence's entry in its byte map; skip later ones
-                continue
+                if key_bytes[(k1, k2)] != bs:
+                    # true 64-bit hash collision between distinct pieces:
+                    # the device table cannot disambiguate — host path
+                    return None
+                # duplicate piece string: the reference's token_to_ids
+                # HashMap keeps the LAST occurrence's id
             entries[(k1, k2)] = (len(bs), i, float(score))
+            key_bytes[(k1, k2)] = bs
             max_len = max(max_len, len(bs))
         if max_len > 64:
             return None

@@ -249,7 +249,10 @@ def wordpiece_program(
     reach = jnp.concatenate([bnd & ~long_word, jnp.zeros((B, 1), bool)], axis=1)
     jump = jnp.concatenate([nxt, jnp.full((B, 1), SINK, jnp.int32)], axis=1)
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (B, L2 + 1), 0)
-    for _ in range(7):  # 2^7 = 128 >= max tokens per word (word <= 100 chars)
+    # 2^k must cover the max tokens-per-word chain length; one token is at
+    # least one char, so max_word_chars bounds it (default 100 -> k=7)
+    k_dbl = max(7, int(max_word_chars).bit_length())
+    for _ in range(k_dbl):
         stepped = jnp.zeros((B, L2 + 1), bool).at[rows2, jump].max(reach)
         stepped = stepped.at[:, SINK].set(False)
         reach = reach | stepped

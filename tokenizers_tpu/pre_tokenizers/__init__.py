@@ -34,6 +34,26 @@ class PreTokenizer:
         self.pre_tokenize(p)
         return [(s, o) for s, o, _ in p.get_splits("original", "char")]
 
+    @staticmethod
+    def custom(obj) -> "CustomPreTokenizer":
+        """Wrap a user object with a `pre_tokenize(PreTokenizedString)`
+        method (reference `bindings/python/src/pre_tokenizers.rs:146,815`).
+        Host-only and non-serializable."""
+        return CustomPreTokenizer(obj)
+
+
+class CustomPreTokenizer(PreTokenizer):
+    def __init__(self, obj):
+        if not callable(getattr(obj, "pre_tokenize", None)):
+            raise TypeError(
+                "custom pre-tokenizer must have a "
+                "pre_tokenize(PreTokenizedString) method"
+            )
+        self.obj = obj
+
+    def pre_tokenize(self, pretokenized: PreTokenizedString) -> None:
+        self.obj.pre_tokenize(pretokenized)
+
 
 class Sequence(PreTokenizer):
     def __init__(self, pretokenizers: List[PreTokenizer]):

@@ -27,6 +27,87 @@ from .utils.truncation import TruncationParams, truncate_encodings
 InputSequence = Union[str, Sequence[str]]
 
 
+def _as_sequence(x):
+    """Normalize numpy unicode/object arrays and numpy scalar strings to
+    plain Python types (reference accepts numpy arrays as input sequences,
+    `bindings/python/src/tokenizer.rs:282-345`)."""
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover
+        return x
+    if isinstance(x, _np.str_):
+        return str(x)
+    if isinstance(x, _np.ndarray):
+        if x.dtype.kind in ("U", "S", "O"):
+            return [_as_sequence(v) for v in x.tolist()]
+        raise TypeError(
+            "numpy array inputs must have unicode (U), bytes (S) or "
+            f"object (O) dtype, got {x.dtype}"
+        )
+    return x
+
+
+def _parse_text_input(sequence):
+    """Non-pretokenized single sequence: must be str."""
+    sequence = _as_sequence(sequence)
+    if isinstance(sequence, bytes):
+        sequence = sequence.decode("utf-8")
+    if not isinstance(sequence, str):
+        raise TypeError("TextInputSequence must be str")
+    return sequence
+
+
+def _parse_pretokenized_input(sequence):
+    """Pre-tokenized single sequence: a sequence of str (not a str)."""
+    sequence = _as_sequence(sequence)
+    if isinstance(sequence, str) or not isinstance(sequence, (list, tuple)):
+        raise TypeError(
+            "PreTokenizedInputSequence must be Union[List[str], Tuple[str]]"
+        )
+    out = []
+    for item in sequence:
+        item = _as_sequence(item)
+        if isinstance(item, bytes):
+            item = item.decode("utf-8")
+        if not isinstance(item, str):
+            raise TypeError(
+                "PreTokenizedInputSequence must be Union[List[str], Tuple[str]]"
+            )
+        out.append(item)
+    return out
+
+
+def _parse_encode_input(input, is_pretokenized):
+    """Batch item -> (sequence, pair_or_None), honoring `is_pretokenized`
+    exactly as the reference binding's EncodeInput conversion does
+    (`bindings/python/src/tokenizer.rs:195-276`): a 2-element tuple/list of
+    sequences is a dual-sequence input; otherwise the item is one sequence."""
+    input = _as_sequence(input)
+    if is_pretokenized:
+        if (
+            isinstance(input, (tuple, list))
+            and len(input) == 2
+            and all(
+                isinstance(_as_sequence(x), (list, tuple))
+                and not isinstance(_as_sequence(x), str)
+                for x in input
+            )
+        ):
+            return (
+                _parse_pretokenized_input(input[0]),
+                _parse_pretokenized_input(input[1]),
+            )
+        return _parse_pretokenized_input(input), None
+    if isinstance(input, (tuple, list)):
+        if len(input) == 2:
+            return _parse_text_input(input[0]), _parse_text_input(input[1])
+        raise TypeError(
+            "TextEncodeInput must be Union[TextInputSequence, "
+            "Tuple[InputSequence, InputSequence]]"
+        )
+    return _parse_text_input(input), None
+
+
 class Tokenizer:
     def __init__(self, model: Model):
         self.model = model
@@ -96,6 +177,19 @@ class Tokenizer:
             f"Could not find a local tokenizer.json for {identifier!r} "
             "(network downloads are not available)"
         )
+
+    # Pickling via the serialized JSON, like the reference binding
+    # (`bindings/python/src/tokenizer.rs:598-621`).  Device engines and
+    # their on-device tables are rebuilt lazily after unpickling.
+    def __getstate__(self):
+        return {"tokenizer_json": self.to_str()}
+
+    def __setstate__(self, state):
+        fresh = Tokenizer.from_str(state["tokenizer_json"])
+        self.__dict__.update(fresh.__dict__)
+
+    def __reduce__(self):
+        return (Tokenizer.from_str, (self.to_str(),))
 
     def to_str(self, pretty: bool = False) -> str:
         from .serialization import tokenizer_to_dict
@@ -240,7 +334,9 @@ class Tokenizer:
         """Char-referential offsets, matching the reference Python binding
         (`bindings/python/src/tokenizer.rs:1070` wraps `encode_char_offsets`).
         Use `encode_byte_offsets` for the Rust-core byte referential."""
-        return self._encode(sequence, pair, add_special_tokens, CHAR)
+        return self._encode(
+            sequence, pair, add_special_tokens, CHAR, is_pretokenized
+        )
 
     def encode_byte_offsets(
         self,
@@ -250,7 +346,9 @@ class Tokenizer:
         add_special_tokens: bool = True,
     ) -> Encoding:
         """Byte-referential offsets (reference Rust `tokenizer/mod.rs:827`)."""
-        return self._encode(sequence, pair, add_special_tokens, BYTE)
+        return self._encode(
+            sequence, pair, add_special_tokens, BYTE, is_pretokenized
+        )
 
     def encode_char_offsets(
         self,
@@ -259,7 +357,9 @@ class Tokenizer:
         is_pretokenized: bool = False,
         add_special_tokens: bool = True,
     ) -> Encoding:
-        return self._encode(sequence, pair, add_special_tokens, CHAR)
+        return self._encode(
+            sequence, pair, add_special_tokens, CHAR, is_pretokenized
+        )
 
     def encode_fast(
         self,
@@ -269,12 +369,26 @@ class Tokenizer:
         add_special_tokens: bool = True,
     ) -> Encoding:
         """No offsets/tokens tracking (reference `tokenizer/mod.rs:785`)."""
-        return self._encode(sequence, pair, add_special_tokens, NONE)
+        return self._encode(
+            sequence, pair, add_special_tokens, NONE, is_pretokenized
+        )
 
-    def _encode(self, sequence, pair, add_special_tokens, offsets_type) -> Encoding:
-        encoding = self._encode_single_sequence(sequence, 0, offsets_type)
+    def _encode(
+        self,
+        sequence,
+        pair,
+        add_special_tokens,
+        offsets_type,
+        is_pretokenized=False,
+    ) -> Encoding:
+        parse = (
+            _parse_pretokenized_input if is_pretokenized else _parse_text_input
+        )
+        encoding = self._encode_single_sequence(
+            parse(sequence), 0, offsets_type
+        )
         pair_encoding = (
-            self._encode_single_sequence(pair, 1, offsets_type)
+            self._encode_single_sequence(parse(pair), 1, offsets_type)
             if pair is not None
             else None
         )
@@ -289,7 +403,9 @@ class Tokenizer:
         """Batch encode with char offsets, matching the reference Python
         binding (`bindings/python/src/tokenizer.rs:1207`); dispatches to the
         TPU engine when compilable."""
-        return self._encode_batch(inputs, add_special_tokens, CHAR)
+        return self._encode_batch(
+            inputs, add_special_tokens, CHAR, is_pretokenized
+        )
 
     def encode_batch_byte_offsets(
         self,
@@ -298,7 +414,9 @@ class Tokenizer:
         add_special_tokens: bool = True,
     ) -> List[Encoding]:
         """(reference Rust `tokenizer/mod.rs:1278`)"""
-        return self._encode_batch(inputs, add_special_tokens, BYTE)
+        return self._encode_batch(
+            inputs, add_special_tokens, BYTE, is_pretokenized
+        )
 
     def encode_batch_char_offsets(
         self,
@@ -306,7 +424,9 @@ class Tokenizer:
         is_pretokenized: bool = False,
         add_special_tokens: bool = True,
     ) -> List[Encoding]:
-        return self._encode_batch(inputs, add_special_tokens, CHAR)
+        return self._encode_batch(
+            inputs, add_special_tokens, CHAR, is_pretokenized
+        )
 
     def encode_batch_fast(
         self,
@@ -314,13 +434,22 @@ class Tokenizer:
         is_pretokenized: bool = False,
         add_special_tokens: bool = True,
     ) -> List[Encoding]:
-        return self._encode_batch(inputs, add_special_tokens, NONE)
+        return self._encode_batch(
+            inputs, add_special_tokens, NONE, is_pretokenized
+        )
 
-    def _encode_batch(self, inputs, add_special_tokens, offsets_type) -> List[Encoding]:
+    def _encode_batch(
+        self, inputs, add_special_tokens, offsets_type, is_pretokenized=False
+    ) -> List[Encoding]:
+        inputs = _as_sequence(inputs)
         engine = self._get_device_engine()
         if engine is not None and offsets_type != NONE and not engine.supports_offsets:
             engine = None
-        if engine is not None and all(isinstance(i, str) for i in inputs):
+        if (
+            engine is not None
+            and not is_pretokenized
+            and all(isinstance(i, str) for i in inputs)
+        ):
             if offsets_type == NONE:
                 encodings = engine.encode_batch(list(inputs), add_special_tokens)
             else:
@@ -330,12 +459,12 @@ class Tokenizer:
         else:
             encodings = []
             for input in inputs:
-                if isinstance(input, tuple):
-                    seq, pr = input
-                else:
-                    seq, pr = input, None
+                seq, pr = _parse_encode_input(input, is_pretokenized)
                 encodings.append(
-                    self._encode(seq, pr, add_special_tokens, offsets_type)
+                    self._encode(
+                        seq, pr, add_special_tokens, offsets_type,
+                        is_pretokenized,
+                    )
                 )
         if self.padding is not None:
             pad_encodings(encodings, self.padding)

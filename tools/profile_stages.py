@@ -1,0 +1,258 @@
+#!/usr/bin/env python
+"""Per-stage breakdown of the gpt2 BPE encode program on one [256, 8192]
+chunk of the bench corpus (the unit the bench runs 16x per 32MB batch).
+
+Times cumulative prefixes of the pipeline so each stage's cost is the
+difference between consecutive rows.  Every program is wrapped in a
+REPS-iteration fori_loop and synced by a scalar fetch.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import tokenizers_tpu.ops  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+REPS = 5
+
+
+def timeit(name, fn, *args):
+    f = jax.jit(fn)
+    t0 = time.perf_counter()
+    _ = int(f(*args))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = int(f(*args))
+    dt = (time.perf_counter() - t0) / REPS
+    print(f"{name:40s} {dt*1e3:9.2f} ms/chunk   (compile {compile_s:.1f}s)", flush=True)
+    return dt
+
+
+def loop(body):
+    def fn(*args):
+        def step(i, acc):
+            return acc + body(i, *args)
+
+        return jax.lax.fori_loop(0, REPS, step, jnp.int32(0))
+
+    return fn
+
+
+def main():
+    from tokenizers_tpu.ops.bpe_dedup import (
+        buffer_geometry,
+        dedup_finish,
+        dedup_layout,
+    )
+    from tokenizers_tpu.ops.bpe_encode import encode_program, gpt2_boundaries
+    from tokenizers_tpu.ops.packing import pack_batch
+    from tokenizers_tpu.tokenizer import Tokenizer
+
+    tok = Tokenizer.from_file("/root/repo/tests/fixtures/gpt2/tokenizer.json")
+    eng = tok._get_device_engine()
+    text = open("/root/repo/tests/fixtures/corpus.txt", encoding="utf-8").read()
+    data = text.encode("utf-8")
+    print(f"corpus bytes: {len(data)}", flush=True)
+    docs = []
+    off = 0
+    while off + 8192 <= len(data) and len(docs) < 256:
+        chunk = data[off : off + 8192]
+        while chunk and (chunk[-1] & 0xC0) == 0x80:
+            chunk = chunk[:-1]
+        if chunk and chunk[-1] >= 0xC0:
+            chunk = chunk[:-1]
+        docs.append(chunk)
+        off += len(chunk)
+    chunks = pack_batch(docs)
+    buf, lengths, _ = chunks[0]
+    print(f"chunk shape: {buf.shape}, total bytes {int(lengths.sum())}", flush=True)
+    d_buf = jax.device_put(buf)
+    d_len = jax.device_put(lengths)
+    kw = eng._program_args()
+
+    B, L = buf.shape
+    BL = B * L
+    geom = buffer_geometry(BL)
+    geom_small = buffer_geometry(BL, denom=16)
+
+    def prep(i, bytes_u8, lengths):
+        b = bytes_u8.astype(jnp.int32)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        inb = pos < lengths[:, None]
+        b = jnp.where(inb, b + i * 0, 0)
+        return b, pos, inb
+
+    cls_table = kw["cls_table"]
+    byte2id = kw["byte2id"]
+    rows0 = kw["merge_rows0"]
+    rows1 = kw["merge_rows1"]
+    mclr = kw["merge_mclr"]
+    seed = kw["seed"]
+
+    # stage 1: boundaries (includes the cls gather)
+    def p1(i, bytes_u8, lengths):
+        b, pos, inb = prep(i, bytes_u8, lengths)
+        bnd, _ = gpt2_boundaries(b, inb, cls_table)
+        return jnp.sum(bnd.astype(jnp.int32))
+
+    timeit("boundaries (incl cls gather)", loop(p1), d_buf, d_len)
+
+    # stage 2: + word guard + dedup layout
+    BIGP = jnp.int32(0x7FFFFFFF)
+
+    def upto_layout(i, bytes_u8, lengths, geom):
+        from tokenizers_tpu.ops.bpe_merge2 import WORD_CAP, _shift_next
+
+        b, pos, inb = prep(i, bytes_u8, lengths)
+        bnd, _ = gpt2_boundaries(b, inb, cls_table)
+        nbp = jax.lax.cummin(jnp.where(bnd, pos, BIGP), axis=1, reverse=True)
+        nxt_bnd = _shift_next(nbp, BIGP)
+        fits, dops = dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom)
+        return b, bnd, inb, nxt_bnd, fits, dops
+
+    def p2(i, bytes_u8, lengths):
+        *_rest, fits, dops = upto_layout(i, bytes_u8, lengths, geom)
+        return jnp.sum(dops[2]) + fits.astype(jnp.int32)
+
+    timeit("+ dedup_layout", loop(p2), d_buf, d_len)
+
+    # stage 3: + dedup_finish with merge disabled (layout + copy + expand)
+    import tokenizers_tpu.ops.bpe_dedup as dd
+
+    real_merge = dd.run_merge_phases
+
+    def fake_merge(ids, wid, r0, r1, s, m, phase1_rounds=4, obp=None):
+        w2 = max(ids.shape[1] // 2, 64)
+        from tokenizers_tpu.ops.bpe_merge2 import compact
+
+        ids2, wid2, bad, _ = compact(ids, wid, w2)
+        return ids2, wid2, bad, None
+
+    def p3(i, bytes_u8, lengths):
+        b, bnd, inb, nxt_bnd, fits, dops = upto_layout(i, bytes_u8, lengths, geom)
+        out = dedup_finish(dops, b, byte2id, rows0, rows1, seed, mclr, L // 2, geom)
+        return jnp.sum(out[1])
+
+    dd.run_merge_phases = fake_merge
+    timeit("+ finish (merge stubbed to compact)", loop(p3), d_buf, d_len)
+    dd.run_merge_phases = real_merge
+
+    # count merge rounds on the real unique buffer
+    rounds_counter = {}
+
+    def counting_merge(ids, wid, r0, r1, s, phase1_rounds=6, obp=None):
+        from tokenizers_tpu.ops.bpe_merge2 import (
+            _seg_of,
+            compact,
+            merge_round,
+        )
+
+        seg = _seg_of(wid)
+        for r in range(phase1_rounds):
+            ids, _ = merge_round(ids, wid, seg, r0, r1, s, m, k_steps=r + 1)
+        w2 = max(ids.shape[1] // 2, 64)
+        ids, wid2, bad, _ = compact(ids, wid, w2)
+        seg2 = _seg_of(wid2)
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            ids, _, n = state
+            ids, more = merge_round(ids, wid2, seg2, r0, r1, s, m)
+            return ids, more, n + 1
+
+        ids, _, n = jax.lax.while_loop(
+            cond, body, (ids, jnp.array(True), jnp.int32(0))
+        )
+        rounds_counter["n"] = True
+        return ids, wid2, bad, n
+
+    def p_rounds(bytes_u8, lengths):
+        b, bnd, inb, nxt_bnd, fits, dops = upto_layout(0, bytes_u8, lengths, geom)
+        out = dedup_finish(dops, b, byte2id, rows0, rows1, seed, mclr, L // 2, geom)
+        return out
+
+    # hack: count rounds via a bare run on the unique buffer
+    def p_count(bytes_u8, lengths):
+        from tokenizers_tpu.ops.bpe_merge2 import _seg_of, compact, merge_round
+
+        b, bnd, inb, nxt_bnd, fits, dops = upto_layout(0, bytes_u8, lengths, geom)
+        # rebuild the unique buffer the way dedup_finish does (first part)
+        # simpler: run full-width merge on the [B, L] grid and count rounds
+        ids0 = jnp.where(inb, byte2id[b], -1)
+        wid = jnp.where(inb, jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1, -1)
+        seg = _seg_of(wid)
+        for r in range(4):
+            ids0, _ = merge_round(ids0, wid, seg, rows0, rows1, seed, mclr, k_steps=r + 1)
+        w2 = max(L // 2, 64)
+        ids0, wid2, bad, _ = compact(ids0, wid, w2)
+        seg2 = _seg_of(wid2)
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            ids, _, n = state
+            ids, more = merge_round(ids, wid2, seg2, rows0, rows1, seed, mclr)
+            return ids, more, n + 1
+
+        _, _, n = jax.lax.while_loop(
+            cond, body, (ids0, jnp.array(True), jnp.int32(0))
+        )
+        return n
+
+    n = int(jax.jit(p_count)(d_buf, d_len))
+    print(f"while-loop merge rounds after 4 phase-1 rounds (full grid): {n}", flush=True)
+
+    # stage 4: full program (no cache) as the bench runs it
+    def p4(i, bytes_u8, lengths):
+        ids, ntok, bad = encode_program(bytes_u8, lengths, **kw)
+        return jnp.sum(ntok) + i * 0
+
+    timeit("full encode_program (bench config)", loop(p4), d_buf, d_len)
+
+    # stage 5: single merge_round cost at the two unique-buffer geometries
+    for g, nm in ((geom, "denom4"), (geom_small, "denom16")):
+        nw_cap, wc, uc, uceff, ru = g
+        from tokenizers_tpu.ops.bpe_merge2 import _seg_of, merge_round
+
+        key = jax.random.PRNGKey(0)
+        wid = jnp.cumsum(
+            jax.random.bernoulli(key, 0.2, (ru, uc)), axis=1
+        ).astype(jnp.int32)
+        seg = _seg_of(wid)
+        idsr = jax.random.randint(key, (ru, uc), 0, 255, jnp.int32)
+
+        def mr(i, idsr, wid, seg):
+            out, _ = merge_round(idsr + i * 0, wid, seg, rows0, rows1, seed, mclr)
+            return jnp.sum(out)
+
+        dt = timeit(f"merge_round on ubuf {nm} [{ru},{uc}]", loop(mr), idsr, wid, seg)
+
+    # end-to-end un-jitted overhead: dispatch 16 chunks w/ final sync
+    def run16():
+        acc = jnp.int32(0)
+        for _ in range(16):
+            ids, ntok, bad = encode_program(d_buf, d_len, **kw)
+            acc = acc + jnp.sum(ntok)
+        return int(acc)
+
+    run16()
+    t0 = time.perf_counter()
+    run16()
+    dt = time.perf_counter() - t0
+    tot = int(lengths.sum()) * 16
+    print(
+        f"16-chunk dispatch loop: {dt*1e3:.1f} ms total -> {tot/dt/1e6:.1f} MB/s",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
