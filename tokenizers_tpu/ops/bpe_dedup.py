@@ -320,7 +320,9 @@ def dedup_finish(
     )
 
     # ---- encode it ----------------------------------------------------
-    ids0 = jnp.where(inb_u, byte2id[b_u], -1)
+    from .bpe_encode import take256
+
+    ids0 = jnp.where(inb_u, take256(b_u, byte2id), -1)
     if whole_word:
         uh1 = word_hash_heads(b_u, uhead, inb_u, H1_MULT)
         uh2 = word_hash_heads(b_u, uhead, inb_u, H2_MULT)

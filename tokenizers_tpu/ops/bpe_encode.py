@@ -59,6 +59,19 @@ def _shift_prev(x, fill, k=1):
     )
 
 
+def take256(idx, table):
+    """`table[idx]` for an int32 table of exactly 256 entries, as one-hot
+    bf16 matmuls on the MXU — measured ~7x a native gather per index on
+    this backend.  Each byte plane of the value is an exact bf16 integer
+    (<= 255), so the composed int32 result is exact for values < 2^24."""
+    oh = jax.nn.one_hot(idx, 256, dtype=jnp.bfloat16)
+    planes = []
+    for shift in (0, 8, 16):
+        t = ((table >> shift) & 0xFF).astype(jnp.bfloat16)
+        planes.append((oh @ t[:, None])[..., 0].astype(jnp.int32) << shift)
+    return planes[0] | planes[1] | planes[2]
+
+
 def _shift_next(x, fill, k=1):
     """x[:, j+k] (row-wise), last k cols <- fill."""
     return jnp.concatenate(
@@ -71,59 +84,94 @@ def _shift_next(x, fill, k=1):
 # --------------------------------------------------------------------------
 
 
-def gpt2_boundaries(b, inb, cls_table):
+def ascii_cls(b):
+    """Char class for byte values < 128, fully elementwise (no gather).
+
+    Equal to `char_class_flat()[:128]` by construction: \\p{L} in ASCII is
+    [A-Za-z], \\p{N} is [0-9], Oniguruma \\s is [\\t\\n\\x0b\\f\\r ]
+    (`unicode_tables._WS_CODEPOINTS`); verified in tests."""
+    bl = b | 32
+    is_l = (bl >= 97) & (bl <= 122)
+    is_n = (b >= 48) & (b <= 57)
+    is_ws = (b >= 9) & (b <= 13)
+    return jnp.where(
+        is_l,
+        CLS_L,
+        jnp.where(
+            is_n,
+            CLS_N,
+            jnp.where(b == 32, CLS_SP, jnp.where(is_ws, CLS_WS, CLS_O)),
+        ),
+    ).astype(jnp.int32)
+
+
+def gpt2_boundaries(b, inb, cls_table, ascii_only=False):
     """Match-start mask of the GPT-2 split pattern over packed bytes.
 
     b: int32[B, L] byte values (0 outside text); inb: bool[B, L] in-text mask.
     cls_table: flat int8[0x110000] codepoint->class table.
+    `ascii_only` (static): all bytes < 128 — skips the UTF-8 decode and the
+    per-position class-table gather (the gather costs ~100x an elementwise
+    op on this backend; natural-language chunks are usually pure ASCII).
     Returns (bnd bool[B,L], is_start bool[B,L]).
     """
     B, L = b.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     length = jnp.sum(inb.astype(jnp.int32), axis=1, keepdims=True)
 
-    is_cont = (b & 0xC0) == 0x80
-    is_start = inb & ~is_cont
-    charlen = (
-        1
-        + (b >= 0xC0).astype(jnp.int32)
-        + (b >= 0xE0).astype(jnp.int32)
-        + (b >= 0xF0).astype(jnp.int32)
-    )
-
     b1 = _shift_next(b, 0)
     b2 = _shift_next(b, 0, 2)
-    b3 = _shift_next(b, 0, 3)
-    cp1 = b
-    cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
-    cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
-    cp4 = ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6) | (b3 & 0x3F)
-    cp = jnp.where(
-        charlen == 1, cp1, jnp.where(charlen == 2, cp2, jnp.where(charlen == 3, cp3, cp4))
-    )
-    cp = jnp.clip(cp, 0, 0x10FFFF)
 
-    cls = cls_table[cp].astype(jnp.int32)
-
-    # forward-fill class over continuation bytes (<= 3 steps)
-    f = jnp.where(is_start, cls, -1)
-    for _ in range(3):
-        f = jnp.where(f >= 0, f, _shift_prev(f, -1))
-    cls_fill = f
-
-    prev_cls = _shift_prev(cls_fill, CLS_END)
-    prev_cls = jnp.where(pos == 0, CLS_END, prev_cls)
-
-    # class of the next char: at distance charlen in {1..4} — four shifted
-    # selects instead of a per-index gather (gathers are ~100x an
-    # elementwise op on this backend)
-    next_exists = (pos + charlen) < length
-    next_cls_raw = _shift_next(cls_fill, -1)
-    for k in (2, 3, 4):
-        next_cls_raw = jnp.where(
-            charlen == k, _shift_next(cls_fill, -1, k), next_cls_raw
+    if ascii_only:
+        is_start = inb
+        cls = cls_fill = ascii_cls(b)
+        prev_cls = _shift_prev(cls_fill, CLS_END)
+        prev_cls = jnp.where(pos == 0, CLS_END, prev_cls)
+        next_exists = (pos + 1) < length
+        next_cls = jnp.where(
+            next_exists, _shift_next(cls_fill, -1), CLS_END
         )
-    next_cls = jnp.where(next_exists, next_cls_raw, CLS_END)
+    else:
+        is_cont = (b & 0xC0) == 0x80
+        is_start = inb & ~is_cont
+        charlen = (
+            1
+            + (b >= 0xC0).astype(jnp.int32)
+            + (b >= 0xE0).astype(jnp.int32)
+            + (b >= 0xF0).astype(jnp.int32)
+        )
+
+        b3 = _shift_next(b, 0, 3)
+        cp1 = b
+        cp2 = ((b & 0x1F) << 6) | (b1 & 0x3F)
+        cp3 = ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+        cp4 = ((b & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+        cp = jnp.where(
+            charlen == 1, cp1, jnp.where(charlen == 2, cp2, jnp.where(charlen == 3, cp3, cp4))
+        )
+        cp = jnp.clip(cp, 0, 0x10FFFF)
+
+        cls = cls_table[cp].astype(jnp.int32)
+
+        # forward-fill class over continuation bytes (<= 3 steps)
+        f = jnp.where(is_start, cls, -1)
+        for _ in range(3):
+            f = jnp.where(f >= 0, f, _shift_prev(f, -1))
+        cls_fill = f
+
+        prev_cls = _shift_prev(cls_fill, CLS_END)
+        prev_cls = jnp.where(pos == 0, CLS_END, prev_cls)
+
+        # class of the next char: at distance charlen in {1..4} — four
+        # shifted selects instead of a per-index gather (gathers are ~100x
+        # an elementwise op on this backend)
+        next_exists = (pos + charlen) < length
+        next_cls_raw = _shift_next(cls_fill, -1)
+        for k in (2, 3, 4):
+            next_cls_raw = jnp.where(
+                charlen == k, _shift_next(cls_fill, -1, k), next_cls_raw
+            )
+        next_cls = jnp.where(next_exists, next_cls_raw, CLS_END)
 
     # contraction: 's|'t|'re|'ve|'m|'ll|'d at a match-start apostrophe
     apo = is_start & (b == 0x27)
@@ -231,19 +279,7 @@ def _chain_parity(f, transparent):
 # --------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "with_word_ids",
-        "boundary",
-        "whole_word",
-        "with_offsets",
-        "dedup",
-        "word_cache",
-    ),
-    donate_argnames=("cache_rows", "cache_buf", "cache_p"),
-)
-def encode_program(
+def _encode_core(
     bytes_u8,
     lengths,
     byte2id,
@@ -264,6 +300,7 @@ def encode_program(
     cache_rows=None,
     cache_buf=None,
     cache_p=None,
+    ascii_only=False,
 ):
     """uint8[B,L] bytes + int32[B] lengths
     -> (ids int32[B, L//2], ntok int32[B], row_bad bool[B]).
@@ -289,11 +326,11 @@ def encode_program(
     b = jnp.where(inb, b, 0)
 
     if boundary == "gpt2":
-        bnd, _ = gpt2_boundaries(b, inb, cls_table)
+        bnd, _ = gpt2_boundaries(b, inb, cls_table, ascii_only=ascii_only)
     else:
         from .llama3_presplit import llama3_boundaries
 
-        bnd, _ = llama3_boundaries(b, inb, cls_table)
+        bnd, _ = llama3_boundaries(b, inb, cls_table, ascii_only=ascii_only)
 
     word_id = jnp.where(inb, jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1, -1)
 
@@ -305,7 +342,7 @@ def encode_program(
     row_bad = jnp.any(bnd & (wlen > WORD_CAP), axis=1)
 
     def make_ids0():
-        ids0 = jnp.where(inb, byte2id[b], -1)
+        ids0 = jnp.where(inb, take256(b, byte2id), -1)
 
         if whole_word:
             # double rolling hash per word (segmented affine scans)
@@ -490,3 +527,107 @@ def encode_program(
         ends = jnp.where(in_tok, ends, 0)
         result = result + (starts, ends, wids_out)
     return result
+
+
+encode_program = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "with_word_ids",
+        "boundary",
+        "whole_word",
+        "with_offsets",
+        "dedup",
+        "word_cache",
+        "ascii_only",
+    ),
+    donate_argnames=("cache_rows", "cache_buf", "cache_p"),
+)(_encode_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("boundary", "whole_word", "ascii_only", "word_cache"),
+    donate_argnames=("cache_rows", "cache_buf", "cache_p"),
+)
+def encode_program_scan(
+    bytes_u8,  # uint8[N, B, L]
+    lengths,  # int32[N, B]
+    byte2id,
+    cls_table,
+    merge_rows0,
+    merge_rows1,
+    seed,
+    merge_mclr=None,
+    boundary="gpt2",
+    whole_word=False,
+    ww_rows0=None,
+    ww_rows1=None,
+    ww_seed=0,
+    cache_rows=None,
+    cache_buf=None,
+    cache_p=None,
+    ascii_only=False,
+    word_cache=True,
+):
+    """N same-shape chunks in ONE device dispatch via `lax.scan`, threading
+    the persistent word cache through as the scan carry.
+
+    Per-chunk dispatch overhead over the transport is ~10ms on this backend;
+    a 32MB batch in 2MB chunks pays it 16x.  Scanning compiles the chunk
+    program once and runs all chunks in a single call — and because the
+    cache is the carry, each distinct word across the *whole batch* runs
+    the merge loop exactly once (chunk k reads hits written by chunks < k).
+
+    Returns (ids int32[N, B, L//2], ntok int32[N, B], row_bad bool[N, B],
+    (cache_rows', cache_buf', cache_p')).  With `word_cache=False` the
+    cache args are ignored and the carry returned is ().
+
+    `word_cache=False` still dedups within each chunk; it only skips the
+    cross-chunk persistent cache (used for cold-throughput benchmarking)."""
+
+    def step(carry, xs):
+        buf, lens = xs
+        if word_cache:
+            crows, cbuf, p = carry
+            ids, ntok, bad, st = _encode_core(
+                buf,
+                lens,
+                byte2id,
+                cls_table,
+                merge_rows0,
+                merge_rows1,
+                seed,
+                merge_mclr=merge_mclr,
+                boundary=boundary,
+                whole_word=whole_word,
+                ww_rows0=ww_rows0,
+                ww_rows1=ww_rows1,
+                ww_seed=ww_seed,
+                word_cache=True,
+                cache_rows=crows,
+                cache_buf=cbuf,
+                cache_p=p,
+                ascii_only=ascii_only,
+            )
+            return tuple(st), (ids, ntok, bad)
+        ids, ntok, bad = _encode_core(
+            buf,
+            lens,
+            byte2id,
+            cls_table,
+            merge_rows0,
+            merge_rows1,
+            seed,
+            merge_mclr=merge_mclr,
+            boundary=boundary,
+            whole_word=whole_word,
+            ww_rows0=ww_rows0,
+            ww_rows1=ww_rows1,
+            ww_seed=ww_seed,
+            ascii_only=ascii_only,
+        )
+        return carry, (ids, ntok, bad)
+
+    init = (cache_rows, cache_buf, cache_p) if word_cache else ()
+    carry, (ids, ntok, bad) = jax.lax.scan(step, init, (bytes_u8, lengths))
+    return ids, ntok, bad, carry

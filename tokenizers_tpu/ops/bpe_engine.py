@@ -196,6 +196,10 @@ class ByteLevelBpeEngine(DeviceEngineBase):
             ]
         return self._wc
 
+    @staticmethod
+    def _is_ascii(buf) -> bool:
+        return isinstance(buf, np.ndarray) and int(buf.max(initial=0)) < 128
+
     def _program(self, buf, lengths):
         import jax
 
@@ -207,18 +211,66 @@ class ByteLevelBpeEngine(DeviceEngineBase):
             # not threaded through shard_map (each chip would diverge)
             return encode_program(buf, lengths, **self._program_args())
         with self._wc_lock:
-            st = self._ensure_cache()
-            ids, ntok, bad, st2 = encode_program(
-                buf,
-                lengths,
-                word_cache=True,
-                cache_rows=st[0],
-                cache_buf=st[1],
-                cache_p=st[2],
-                **self._program_args(),
-            )
-            self._wc = list(st2)
+            return self._program_locked(buf, lengths, self._is_ascii(buf))
+
+    def _program_locked(self, buf, lengths, ascii_only):
+        st = self._ensure_cache()
+        ids, ntok, bad, st2 = encode_program(
+            buf,
+            lengths,
+            word_cache=True,
+            cache_rows=st[0],
+            cache_buf=st[1],
+            cache_p=st[2],
+            ascii_only=ascii_only,
+            **self._program_args(),
+        )
+        self._wc = list(st2)
         return ids, ntok, bad
+
+    def _program_many(self, chunks):
+        """Batch same-shape chunks into single `lax.scan` dispatches with
+        the word cache as carry (see `encode_program_scan`): one transport
+        round-trip for the whole batch, and each distinct word in the batch
+        merges exactly once."""
+        from .bpe_encode import encode_program_scan
+
+        groups: dict = {}
+        for i, (buf, _lens, _orig) in enumerate(chunks):
+            key = (
+                (buf.shape, self._is_ascii(buf))
+                if isinstance(buf, np.ndarray)
+                else None
+            )
+            groups.setdefault(key, []).append(i)
+
+        out: List[Optional[tuple]] = [None] * len(chunks)
+        with self._wc_lock:
+            for key, idxs in groups.items():
+                if key is None or len(idxs) == 1:
+                    for i in idxs:
+                        buf, lens, _ = chunks[i]
+                        out[i] = self._program_locked(
+                            buf, lens, key is not None and key[1]
+                        )
+                    continue
+                _shape, ascii_only = key
+                st = self._ensure_cache()
+                bufs = np.stack([chunks[i][0] for i in idxs])
+                lens = np.stack([chunks[i][1] for i in idxs])
+                ids, ntok, bad, st2 = encode_program_scan(
+                    bufs,
+                    lens,
+                    cache_rows=st[0],
+                    cache_buf=st[1],
+                    cache_p=st[2],
+                    ascii_only=ascii_only,
+                    **self._program_args(),
+                )
+                self._wc = list(st2)
+                for k, i in enumerate(idxs):
+                    out[i] = (ids[k], ntok[k], bad[k])
+        return out
 
     def _program_offsets(self, buf, lengths):
         return encode_program(

@@ -254,20 +254,29 @@ def _seg_of(wid):
 
 
 def run_merge_phases(
-    ids, wid, rows0, rows1, seed, mclr, phase1_rounds=4, obp=None
+    ids, wid, rows0, rows1, seed, mclr, phase1_rounds=4, obp=None, k_min=1
 ):
     """Full merge to completion: fixed rounds at input width (growing fill
     depths — round r's gaps are < 2^r), compact to half width, then loop
     until no word has a mergeable pair. Returns (ids, wid, row_bad, obp').
 
     `obp` (original byte position per token, for offsets) rides along:
-    merges keep the left token's position, so it only changes at compaction."""
+    merges keep the left token's position, so it only changes at compaction.
+
+    `k_min`: minimum fill depth for the phase-1 rounds.  Byte-level seeding
+    starts gap-free so the growing depths (round r's gaps are < 2^r) are
+    exact; char-level seeding (charbpe_encode.py) starts with dead runs up
+    to WORD_CAP *inside* words (fused unk, dropped chars, multi-byte
+    continuations), and a same-word pair beyond the fill horizon would be
+    invisibly skipped — breaking (rank, pos) order — so those callers pass
+    k_min=FILL_K."""
     B, W = ids.shape
 
     seg = _seg_of(wid)
     for r in range(phase1_rounds):
         ids, _ = merge_round(
-            ids, wid, seg, rows0, rows1, seed, mclr, k_steps=r + 1
+            ids, wid, seg, rows0, rows1, seed, mclr,
+            k_steps=min(FILL_K, max(r + 1, k_min)),
         )
 
     w2 = max(W // 2, 64)

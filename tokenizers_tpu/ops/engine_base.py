@@ -88,12 +88,35 @@ class DeviceEngineBase:
             s = " " + s
         return s.encode("utf-8")
 
+    def _needs_host(self, s: str, added) -> bool:
+        """Route this input to the host path?  Default: it contains an
+        added/special token (the host pipeline extracts those before the
+        model, reference `added_vocabulary.rs:455`).  Engines whose
+        `_prepare` normalizes host-side also match added tokens against
+        the normalized text (a `normalized=True` added token can surface
+        only after normalization)."""
+        return any(t in s for t in added)
+
+    def _split_long(self, data: bytes, target: int) -> List[bytes]:
+        """Split oversized prepared inputs at tokenization-safe seams;
+        engines may override with pipeline-specific seam rules.  Returning
+        [data] means no safe seam (caller falls back to the host path)."""
+        return split_long(data, target)
+
+    def _program_many(self, chunks):
+        """Run the compiled program over a list of packed chunks; engines
+        may override to batch same-shape chunks into one dispatch."""
+        return [self._program(buf, lengths) for buf, lengths, _ in chunks]
+
     def _run_device(self, byte_strings: List[bytes]):
         """-> (results: per-input np.int32 ids or None, bad: input indices)."""
         results: List[Optional[np.ndarray]] = [None] * len(byte_strings)
         bad: List[int] = []
-        for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok, row_bad = self._program(buf, lengths)
+        chunks = pack_batch(byte_strings)
+        for (_buf, _lengths, orig), out in zip(
+            chunks, self._program_many(chunks)
+        ):
+            ids, ntok, row_bad = out
             ids = np.asarray(ids)
             ntok = np.asarray(ntok)
             row_bad = np.asarray(row_bad)
@@ -114,12 +137,12 @@ class DeviceEngineBase:
         host_idx: List[int] = []
 
         for i, s in enumerate(inputs):
-            if any(t in s for t in added):
+            if self._needs_host(s, added):
                 host_idx.append(i)
                 continue
             data = self._prepare(s)
             if len(data) > MAX_L // 2:
-                chunks = split_long(data, CHUNK_TARGET)
+                chunks = self._split_long(data, CHUNK_TARGET)
                 if len(chunks) == 1:  # no safe seam: host path
                     host_idx.append(i)
                     continue
@@ -202,12 +225,12 @@ class DeviceEngineBase:
         offsets_kind = "char" if char_ref else "byte"
 
         for i, s in enumerate(inputs):
-            if any(t in s for t in added):
+            if self._needs_host(s, added):
                 host_idx.append(i)
                 continue
             data = self._prepare(s)
             if len(data) > MAX_L // 2:
-                chunks = split_long(data, CHUNK_TARGET)
+                chunks = self._split_long(data, CHUNK_TARGET)
                 if len(chunks) == 1:
                     host_idx.append(i)
                     continue
@@ -312,7 +335,7 @@ class DeviceEngineBase:
         for i, s in enumerate(inputs):
             data = self._prepare(s)
             if len(data) > MAX_L // 2:
-                chunks = split_long(data, CHUNK_TARGET)
+                chunks = self._split_long(data, CHUNK_TARGET)
                 if len(chunks) == 1:
                     raise ValueError(
                         f"input {i} is {len(data)} bytes with no "
@@ -325,7 +348,9 @@ class DeviceEngineBase:
                 byte_strings.append(c)
                 owners.append(i)
         out = []
-        for buf, lengths, orig in pack_batch(byte_strings):
-            ids, ntok, row_bad = self._program(buf, lengths)
+        chunks = pack_batch(byte_strings)
+        for (_buf, _lengths, orig), (ids, ntok, _row_bad) in zip(
+            chunks, self._program_many(chunks)
+        ):
             out.append((ids, ntok, [owners[j] for j in orig]))
         return out

@@ -52,74 +52,91 @@ def _seg_fill_forward(head_val, head, run):
     return out & run
 
 
-def llama3_boundaries(b, inb, cls_table):
+def llama3_boundaries(b, inb, cls_table, ascii_only=False):
     """Match-start mask over packed bytes. b int32[B,L] (0 outside), inb bool.
 
-    cls_table: flat int8[0x110000] codepoint->class table."""
+    cls_table: flat int8[0x110000] codepoint->class table.  `ascii_only`
+    (static): all bytes < 128 — skips the UTF-8 decode and the class-table
+    gather (see `bpe_encode.ascii_cls`)."""
     B, L = b.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     length = jnp.sum(inb.astype(jnp.int32), axis=1, keepdims=True)
 
-    is_cont = (b & 0xC0) == 0x80
-    is_start = inb & ~is_cont
-    charlen = (
-        1
-        + (b >= 0xC0).astype(jnp.int32)
-        + (b >= 0xE0).astype(jnp.int32)
-        + (b >= 0xF0).astype(jnp.int32)
-    )
-
     b1 = _shift_next(b, 0)
     b2 = _shift_next(b, 0, 2)
-    b3 = _shift_next(b, 0, 3)
-    cp = jnp.where(
-        charlen == 1,
-        b,
-        jnp.where(
-            charlen == 2,
-            ((b & 0x1F) << 6) | (b1 & 0x3F),
+
+    if ascii_only:
+        from .bpe_encode import ascii_cls
+
+        is_start = inb
+        cls = ascii_cls(b)
+        cls = jnp.where((b == 0x0A) | (b == 0x0D), CLS_NL, cls)
+        cls_fill = cls
+        prev_cls = jnp.where(pos == 0, CLS_END, _shift_prev(cls_fill, CLS_END))
+        pp_cls = jnp.where(
+            pos <= 1, CLS_END, _shift_prev(cls_fill, CLS_END, 2)
+        )
+        next_exists = (pos + 1) < length
+        next_cls = jnp.where(next_exists, _shift_next(cls_fill, -1), CLS_END)
+    else:
+        is_cont = (b & 0xC0) == 0x80
+        is_start = inb & ~is_cont
+        charlen = (
+            1
+            + (b >= 0xC0).astype(jnp.int32)
+            + (b >= 0xE0).astype(jnp.int32)
+            + (b >= 0xF0).astype(jnp.int32)
+        )
+
+        b3 = _shift_next(b, 0, 3)
+        cp = jnp.where(
+            charlen == 1,
+            b,
             jnp.where(
-                charlen == 3,
-                ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F),
-                ((b & 0x07) << 18)
-                | ((b1 & 0x3F) << 12)
-                | ((b2 & 0x3F) << 6)
-                | (b3 & 0x3F),
+                charlen == 2,
+                ((b & 0x1F) << 6) | (b1 & 0x3F),
+                jnp.where(
+                    charlen == 3,
+                    ((b & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F),
+                    ((b & 0x07) << 18)
+                    | ((b1 & 0x3F) << 12)
+                    | ((b2 & 0x3F) << 6)
+                    | (b3 & 0x3F),
+                ),
             ),
-        ),
-    )
-    cp = jnp.clip(cp, 0, 0x10FFFF)
-    cls = cls_table[cp].astype(jnp.int32)
-    cls = jnp.where((b == 0x0A) | (b == 0x0D), CLS_NL, cls)
-
-    # forward-fill class and char-start position over continuation bytes
-    f = jnp.where(is_start, cls, -1)
-    sp = jnp.where(is_start, pos, -1)
-    for _ in range(3):
-        f = jnp.where(f >= 0, f, _shift_prev(f, -1))
-        sp = jnp.where(sp >= 0, sp, _shift_prev(sp, -1))
-    cls_fill, start_fill = f, sp
-
-    prev_cls = jnp.where(pos == 0, CLS_END, _shift_prev(cls_fill, CLS_END))
-    # class of the char two chars back: prev_cls evaluated at the previous
-    # char's start, which is 1..4 bytes back — shifted selects, no gather
-    prev_arr = jnp.where(pos == 0, CLS_END, _shift_prev(cls_fill, CLS_END))
-    d1 = pos - _shift_prev(start_fill, 0)  # distance to prev char start
-    pp_cls_raw = _shift_prev(prev_arr, CLS_END)
-    for k in (2, 3, 4):
-        pp_cls_raw = jnp.where(
-            d1 == k, _shift_prev(prev_arr, CLS_END, k), pp_cls_raw
         )
-    pp_cls = jnp.where(pos <= 1, CLS_END, pp_cls_raw)
+        cp = jnp.clip(cp, 0, 0x10FFFF)
+        cls = cls_table[cp].astype(jnp.int32)
+        cls = jnp.where((b == 0x0A) | (b == 0x0D), CLS_NL, cls)
 
-    # class of the next char: distance charlen in {1..4} — shifted selects
-    next_exists = (pos + charlen) < length
-    next_cls_raw = _shift_next(cls_fill, -1)
-    for k in (2, 3, 4):
-        next_cls_raw = jnp.where(
-            charlen == k, _shift_next(cls_fill, -1, k), next_cls_raw
-        )
-    next_cls = jnp.where(next_exists, next_cls_raw, CLS_END)
+        # forward-fill class and char-start position over continuation bytes
+        f = jnp.where(is_start, cls, -1)
+        sp = jnp.where(is_start, pos, -1)
+        for _ in range(3):
+            f = jnp.where(f >= 0, f, _shift_prev(f, -1))
+            sp = jnp.where(sp >= 0, sp, _shift_prev(sp, -1))
+        cls_fill, start_fill = f, sp
+
+        prev_cls = jnp.where(pos == 0, CLS_END, _shift_prev(cls_fill, CLS_END))
+        # class of the char two chars back: prev_cls evaluated at the previous
+        # char's start, which is 1..4 bytes back — shifted selects, no gather
+        prev_arr = jnp.where(pos == 0, CLS_END, _shift_prev(cls_fill, CLS_END))
+        d1 = pos - _shift_prev(start_fill, 0)  # distance to prev char start
+        pp_cls_raw = _shift_prev(prev_arr, CLS_END)
+        for k in (2, 3, 4):
+            pp_cls_raw = jnp.where(
+                d1 == k, _shift_prev(prev_arr, CLS_END, k), pp_cls_raw
+            )
+        pp_cls = jnp.where(pos <= 1, CLS_END, pp_cls_raw)
+
+        # class of the next char: distance charlen in {1..4} — shifted selects
+        next_exists = (pos + charlen) < length
+        next_cls_raw = _shift_next(cls_fill, -1)
+        for k in (2, 3, 4):
+            next_cls_raw = jnp.where(
+                charlen == k, _shift_next(cls_fill, -1, k), next_cls_raw
+            )
+        next_cls = jnp.where(next_exists, next_cls_raw, CLS_END)
 
     def ws_c(c):
         return (c == CLS_SP) | (c == CLS_WS) | (c == CLS_NL)

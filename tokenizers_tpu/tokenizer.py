@@ -457,15 +457,19 @@ class Tokenizer:
                     list(inputs), add_special_tokens, offsets_type == CHAR
                 )
         else:
-            encodings = []
-            for input in inputs:
+            # host fallback: fan out over forked workers, mirroring the
+            # reference's rayon batch parallelism gated by
+            # TOKENIZERS_PARALLELISM (`utils/parallelism.rs:15-62`,
+            # `tokenizer/mod.rs:1278-1342`)
+            from .utils.parallelism import maybe_par_map
+
+            def encode_one(input):
                 seq, pr = _parse_encode_input(input, is_pretokenized)
-                encodings.append(
-                    self._encode(
-                        seq, pr, add_special_tokens, offsets_type,
-                        is_pretokenized,
-                    )
+                return self._encode(
+                    seq, pr, add_special_tokens, offsets_type, is_pretokenized
                 )
+
+            encodings = maybe_par_map(encode_one, list(inputs))
         if self.padding is not None:
             pad_encodings(encodings, self.padding)
         return encodings
@@ -608,7 +612,14 @@ class Tokenizer:
     def decode_batch(
         self, sequences: Sequence[Sequence[int]], skip_special_tokens: bool = True
     ) -> List[str]:
-        return [self.decode(ids, skip_special_tokens) for ids in sequences]
+        """(reference `tokenizer/mod.rs:1345` — maybe-parallel over items)"""
+        from .utils.parallelism import maybe_par_map
+
+        return maybe_par_map(
+            lambda ids: self.decode(ids, skip_special_tokens),
+            list(sequences),
+            min_items=64,
+        )
 
     def decode_stream(self, skip_special_tokens: bool = True) -> "DecodeStream":
         return DecodeStream(self, skip_special_tokens)
