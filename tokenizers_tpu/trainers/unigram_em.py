@@ -64,11 +64,36 @@ def _make_unigram(pieces: List[SentencePiece]):
 
 
 class _TrainerOps:
-    """The reference trainer's inner operations over (cfg, sentences)."""
+    """The reference trainer's inner operations over (cfg, sentences).
+
+    The two corpus-wide hot loops — E-step marginals and pruning Viterbi
+    statistics — run as batched device programs (`ops/unigram_em_step.py`,
+    optionally mesh-sharded with psum'd expectations) when the pieces
+    admit a device table; the per-sentence host lattice below remains the
+    oracle and the fallback.  Set ``TOKENIZERS_TPU_DEVICE_EM=0`` to force
+    the host path."""
 
     def __init__(self, cfg, sentences: List[Tuple[str, int]]):
         self.cfg = cfg
         self.sentences = sentences
+        self._dev = None
+        self._dev_failed = False
+
+    def _device_em(self):
+        import os
+
+        if os.environ.get("TOKENIZERS_TPU_DEVICE_EM", "1") == "0":
+            return None
+        if self._dev is None and not self._dev_failed:
+            try:
+                from ..ops.unigram_em_step import DeviceEm
+
+                self._dev = DeviceEm(
+                    self.sentences, mesh=getattr(self.cfg, "mesh", None)
+                )
+            except Exception:
+                self._dev_failed = True
+        return self._dev
 
     # ------------------------------------------------------------- seeding
 
@@ -130,6 +155,17 @@ class _TrainerOps:
 
     def run_e_step(self, model) -> Tuple[float, int, List[float]]:
         all_freq = sum(n for _, n in self.sentences)
+        dev = self._device_em()
+        if dev is not None:
+            out = dev.e_step(model)
+            if out is not None:
+                exp_arr, z, ntokens = out
+                if np.isnan(z).any() or np.isnan(exp_arr).any():
+                    raise ValueError(
+                        "likelihood is NAN. Input sentence may be too long."
+                    )
+                objs = -float(z.sum()) / all_freq
+                return objs, ntokens, list(exp_arr)
         expected = [0.0] * len(model.vocab)
         objs = 0.0
         ntokens = 0
@@ -190,16 +226,23 @@ class _TrainerOps:
                 for node in nbests[1]:
                     alternatives[pid].append(node.id)
 
-        vsum = 0.0
-        freq = [0.0] * len(pieces)
-        inverted: List[List[int]] = [[] for _ in pieces]
-        for i, (sentence, count) in enumerate(self.sentences):
-            lattice = Lattice(sentence, bos_id, eos_id)
-            model.populate_nodes(lattice)
-            vsum += float(count)
-            for node in lattice.viterbi():
-                freq[node.id] += float(count)
-                inverted[node.id].append(i)
+        dev = self._device_em()
+        freq_arr = dev.viterbi_freq(model) if dev is not None else None
+        inverted: Optional[List[List[int]]] = None
+        if freq_arr is not None:
+            vsum = float(sum(count for _, count in self.sentences))
+            freq = list(freq_arr)
+        else:
+            vsum = 0.0
+            freq = [0.0] * len(pieces)
+            inverted = [[] for _ in pieces]
+            for i, (sentence, count) in enumerate(self.sentences):
+                lattice = Lattice(sentence, bos_id, eos_id)
+                model.populate_nodes(lattice)
+                vsum += float(count)
+                for node in lattice.viterbi():
+                    freq[node.id] += float(count)
+                    inverted[node.id].append(i)
 
         total = sum(freq)
         logsum = math.log(total)
@@ -213,9 +256,16 @@ class _TrainerOps:
             elif not alternatives[pid]:
                 new_pieces.append((token, score))
             else:
-                f = 0.0
-                for n in inverted[pid]:
-                    f += float(self.sentences[n][1])
+                # each viterbi occurrence of a piece appends its sentence to
+                # `inverted` AND adds the same count to `freq`, so the two
+                # sums are identical — the device path uses freq directly
+                # (reference `trainer.rs:320-357,380-395`)
+                if inverted is None:
+                    f = freq[pid]
+                else:
+                    f = 0.0
+                    for n in inverted[pid]:
+                        f += float(self.sentences[n][1])
                 if f == 0.0 or math.isnan(f):
                     continue
                 f /= vsum

@@ -25,7 +25,13 @@ class UnigramTrainer:
         max_piece_length: int = 16,
         n_sub_iterations: int = 2,
         seed_size: int = 1_000_000,
+        mesh=None,
     ):
+        # `mesh`: optional jax.sharding.Mesh — the EM E-step and pruning
+        # Viterbi statistics are sharded over its first axis with psum'd
+        # expectations (SURVEY §2.9; reference rayon chunks,
+        # `models/unigram/trainer.rs:451-491`).  Without a mesh the device
+        # programs still run batched on the default device.
         self.vocab_size = vocab_size
         self.show_progress = show_progress
         self.special_tokens = [
@@ -38,6 +44,7 @@ class UnigramTrainer:
         self.max_piece_length = max_piece_length
         self.n_sub_iterations = n_sub_iterations
         self.seed_size = seed_size
+        self.mesh = mesh
         self.words: Dict[str, int] = {}
 
     def feed(self, iterator: Iterable[str], process: Callable[[str], List[str]]) -> None:
