@@ -233,7 +233,13 @@ class ByteLevelBpeEngine(DeviceEngineBase):
         the word cache as carry (see `encode_program_scan`): one transport
         round-trip for the whole batch, and each distinct word in the batch
         merges exactly once."""
+        from ..parallel.runtime import get_default_mesh
         from .bpe_encode import encode_program_scan
+
+        mesh = get_default_mesh()
+        if mesh is not None and mesh.devices.size > 1:
+            # mesh-sharded SPMD dispatch (no mutable cache across shards)
+            return DeviceEngineBase._program_many(self, chunks)
 
         groups: dict = {}
         for i, (buf, _lens, _orig) in enumerate(chunks):

@@ -103,10 +103,38 @@ class DeviceEngineBase:
         [data] means no safe seam (caller falls back to the host path)."""
         return split_long(data, target)
 
+    def _shard_chunk(self, buf, lengths):
+        """Lay a packed chunk out over the process-global default mesh
+        (parallel/runtime.py) when one is configured: rows sharded over
+        every mesh axis, so the jitted program runs SPMD with no
+        cross-chip communication.  No-op without a default mesh."""
+        from ..parallel.runtime import get_default_mesh
+
+        mesh = get_default_mesh()
+        if mesh is None or mesh.devices.size <= 1:
+            return buf, lengths
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ndev = mesh.devices.size
+        if buf.shape[0] % ndev:
+            pad = ndev - buf.shape[0] % ndev
+            buf = np.pad(buf, ((0, pad), (0, 0)))
+            lengths = np.pad(lengths, (0, pad))
+        spec = PartitionSpec(tuple(mesh.axis_names))
+        shard = NamedSharding(mesh, spec)
+        return (
+            jax.device_put(buf, shard),
+            jax.device_put(lengths, shard),
+        )
+
     def _program_many(self, chunks):
         """Run the compiled program over a list of packed chunks; engines
         may override to batch same-shape chunks into one dispatch."""
-        return [self._program(buf, lengths) for buf, lengths, _ in chunks]
+        return [
+            self._program(*self._shard_chunk(buf, lengths))
+            for buf, lengths, _ in chunks
+        ]
 
     def _run_device(self, byte_strings: List[bytes]):
         """-> (results: per-input np.int32 ids or None, bad: input indices)."""
@@ -258,7 +286,6 @@ class DeviceEngineBase:
                 per_input.setdefault(owner, []).append(
                     (ids, st + base, en + base, wd)
                 )
-            pass
             for i, parts in per_input.items():
                 if len(parts) > 1:
                     ids = np.concatenate([p[0] for p in parts])
