@@ -109,8 +109,14 @@ def _stage_chunks(eng, docs):
 
 
 def _time_reps(run, reps=5):
+    t0 = time.perf_counter()
     run()  # warmup / compile
-    best = float("inf")
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run()  # first timed rep also calibrates how many reps we can afford
+    first = time.perf_counter() - t0
+    best = first
+    reps = max(0, min(reps - 1, int(45.0 / max(first, 1e-3)) - 1))
     for _ in range(reps):
         t0 = time.perf_counter()
         run()
@@ -175,7 +181,7 @@ def bench_bpe_scan(name, word_cache):
     return nbytes / best, nbytes
 
 
-def bench_dispatch(name):
+def bench_dispatch(name, target=TARGET_BATCH_BYTES):
     """WordPiece / Unigram engines: per-chunk program dispatch loop."""
     import jax
     import jax.numpy as jnp
@@ -186,7 +192,7 @@ def bench_dispatch(name):
     eng = tok._get_device_engine()
     assert eng is not None, f"{name}: device engine failed to build"
 
-    docs = build_docs()
+    docs = build_docs(target)
     staged, nbytes = _stage_chunks(eng, docs)
 
     @jax.jit
@@ -271,9 +277,10 @@ def main():
 
     results = {}
 
-    # config: bert WordPiece
+    # config: bert WordPiece (smaller timed batch: the dispatch-loop engines
+    # are currently orders slower than the BPE scan path; see PERF.md)
     try:
-        bps, _ = bench_dispatch("bert")
+        bps, _ = bench_dispatch("bert", target=1 << 22)
         refbps = bench_reference_encode("bert", build_docs())
         emit(
             "bert_wordpiece_batch_encode_bytes_per_sec_per_chip",
@@ -286,7 +293,7 @@ def main():
 
     # config: unigram Viterbi (xlnet-style Metaspace)
     try:
-        bps, _ = bench_dispatch("unigram")
+        bps, _ = bench_dispatch("unigram", target=1 << 22)
         refbps = bench_reference_encode("unigram", build_docs())
         emit(
             "unigram_batch_encode_bytes_per_sec_per_chip",

@@ -57,10 +57,11 @@ def random_table(rng, n_base, n_merges):
 def run_device(words, merges, width=128):
     """Pack words (lists of base ids) one per row and run the merge loop."""
     table = CuckooMergeTable(merges)
-    rows0 = jnp.asarray(table.rows(0))
-    rows1 = jnp.asarray(table.rows(1))
     n_ids = max(nid for _r, nid in merges.values()) + 1
-    mclr = jnp.asarray(consume_mins(merges, n_ids))
+    mclr_np = consume_mins(merges, n_ids)
+    rows0 = jnp.asarray(table.rows8(0, mclr_np))
+    rows1 = jnp.asarray(table.rows8(1, mclr_np))
+    mclr = jnp.asarray(mclr_np)
     B = len(words)
     ids = np.full((B, width), -1, np.int32)
     wid = np.full((B, width), -1, np.int32)

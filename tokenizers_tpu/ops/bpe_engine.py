@@ -68,8 +68,8 @@ class ByteLevelBpeEngine(DeviceEngineBase):
         # device-resident constants (replicated per chip)
         self.d_byte2id = jnp.asarray(byte2id)
         self.d_cls = jnp.asarray(char_class_flat())
-        self.d_rows0 = jnp.asarray(table.rows(0))
-        self.d_rows1 = jnp.asarray(table.rows(1))
+        self.d_rows0 = jnp.asarray(table.rows8(0, mclr))
+        self.d_rows1 = jnp.asarray(table.rows8(1, mclr))
         self.d_mclr = jnp.asarray(mclr)
         self.seed = jnp.int32(table.seed)
         if ww_table is not None:

@@ -120,6 +120,21 @@ def lookup_pairs(a, b, rows0, rows1, seed):
     return r, nw
 
 
+def lookup_pairs8(a, b, rows0, rows1, seed):
+    """(rank, new_id, MCL(new_id), MCR(new_id)) from width-8 rows
+    (`merge_table.rows8`); rank INF on miss."""
+    mask = rows0.shape[0] - 1
+    h0 = hash_jnp(a, b, seed, mask, 0)
+    h1 = hash_jnp(a, b, seed, mask, 1)
+    r0 = rows0[h0]
+    r1 = rows1[h1]
+    hit0 = (r0[..., 0] == a) & (r0[..., 1] == b)
+    hit1 = (r1[..., 0] == a) & (r1[..., 1] == b)
+    sel = lambda k: jnp.where(hit0, r0[..., k], r1[..., k])  # noqa: E731
+    r = jnp.where(hit0 | hit1, sel(2), INF)
+    return r, sel(3), sel(4), sel(5)
+
+
 def _fill_last_vals(vals, isset, reverse=False):
     """Per position (per row): the values at the last position at-or-before
     it where `isset` (at-or-after when reverse; undefined where no such
@@ -136,8 +151,15 @@ def _fill_last_vals(vals, isset, reverse=False):
     return out[:-1]
 
 
-def merge_round(ids, wid, seg, rows0, rows1, seed, mclr, k_steps=FILL_K):
-    """One merge round on (ids, wid); ids -1 = dead. Returns (ids, any_f).
+def merge_round(ids, own_l, own_r, wid, seg, rows0, rows1, seed,
+                k_steps=FILL_K):
+    """One merge round on (ids, wid); ids -1 = dead.
+    Returns (ids, own_l, own_r, any_f).
+
+    `own_l`/`own_r` carry each position's token (MCL, MCR) — initialized
+    once by the caller (`init_own`) and updated here from the width-8
+    lookup row (`merge_table.rows8`), so no per-round `mclr[ids]` gather
+    is needed.
 
     Merges the full *safe set* of pairs, not just each word's minimum-rank
     pair.  A candidate pair p = (L, R) with rank r, neighbor tokens P (left)
@@ -167,23 +189,18 @@ def merge_round(ids, wid, seg, rows0, rows1, seed, mclr, k_steps=FILL_K):
     it), so every round makes progress.  The merged set is bit-identical
     to the reference's sequential heap order, in far fewer rounds.
 
-    `mclr`: int32[V, 2] per-token (MCL, MCR) from `merge_table.consume_mins`.
-
     (A cached-rank delta-refresh variant was tried and measured *slower* on
     this backend — the extra loop state and lax.cond overhead exceeded the
-    saved gather elements — so every round does the full two-row-gather
-    lookup.)"""
+    saved gather elements — so every round does the full lookup.)"""
     BIG = np.int32(0x3FFFFFF0)
-    V = mclr.shape[0]
     alive = ids >= 0
-    own = mclr[jnp.clip(ids, 0, V - 1)]
-    mcl_own = jnp.where(alive, own[..., 0], INF)
-    mcr_own = jnp.where(alive, own[..., 1], INF)
+    mcl_own = jnp.where(alive, own_l, INF)
+    mcr_own = jnp.where(alive, own_r, INF)
 
     (nid, nwid, nmcr), nfnd = fill_next([ids, wid, mcr_own], alive, k_steps)
     valid = alive & nfnd & (nwid == wid)
 
-    r, new_id = lookup_pairs(ids, nid, rows0, rows1, seed)
+    r, new_id, mcl_new, mcr_new = lookup_pairs8(ids, nid, rows0, rows1, seed)
     r = jnp.where(valid, r, INF)
     cand = valid & (r < INF)
 
@@ -222,31 +239,38 @@ def merge_round(ids, wid, seg, rows0, rows1, seed, mclr, k_steps=FILL_K):
     kill = alive & pfnd & (pm == 1)
     ids = jnp.where(f, new_id, ids)
     ids = jnp.where(kill, -1, ids)
-    return ids, jnp.any(f)
+    own_l = jnp.where(f, mcl_new, own_l)
+    own_r = jnp.where(f, mcr_new, own_r)
+    return ids, own_l, own_r, jnp.any(f)
+
+
+def init_own(ids, mclr):
+    """Initial per-position (MCL, MCR) carried state for `merge_round`:
+    one [V, 2]-row gather (the only mclr gather in the whole merge)."""
+    V = mclr.shape[0]
+    own = mclr[jnp.clip(ids, 0, V - 1)]
+    return own[..., 0], own[..., 1]
 
 
 def compact(ids, wid, w_new, extras=()):
     """Left-pack alive tokens into width w_new; overflow rows flagged.
 
+    Butterfly compaction (`route.compact_left`) — log-depth elementwise
+    selects, no per-index scatter cost (scatters on this backend cost per
+    index; see route.py).
+
     `extras`: additional int32 arrays to compact alongside (e.g. original
     byte positions for offset tracking)."""
+    from .route import compact_left
+
     B, W = ids.shape
     alive = ids >= 0
-    k = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
-    ntok = jnp.sum(alive.astype(jnp.int32), axis=1)
+    vals = (ids, wid) + tuple(extras)
+    fills = (-1,) * len(vals)
+    out, ntok = compact_left(vals, alive, fills)
     bad = ntok > w_new
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
-    tgt = jnp.where(alive, jnp.minimum(k, w_new), w_new)
-
-    def pack(x):
-        return (
-            jnp.full((B, w_new + 1), -1, jnp.int32)
-            .at[rows, tgt]
-            .set(jnp.where(alive, x, -1))[:, :w_new]
-        )
-
-    out_extras = tuple(pack(x) for x in extras)
-    return pack(ids), pack(wid), bad, out_extras
+    out = tuple(v[:, :w_new] for v in out)
+    return out[0], out[1], bad, out[2:]
 
 
 def _seg_of(wid):
@@ -260,6 +284,10 @@ def run_merge_phases(
     depths — round r's gaps are < 2^r), compact to half width, then loop
     until no word has a mergeable pair. Returns (ids, wid, row_bad, obp').
 
+    `rows0`/`rows1` are width-8 rows (`merge_table.rows8`); `mclr` is the
+    [V, 2] consume-mins table used once to seed the carried per-position
+    (MCL, MCR) state (`init_own`).
+
     `obp` (original byte position per token, for offsets) rides along:
     merges keep the left token's position, so it only changes at compaction.
 
@@ -272,25 +300,31 @@ def run_merge_phases(
     k_min=FILL_K."""
     B, W = ids.shape
 
+    own_l, own_r = init_own(ids, mclr)
     seg = _seg_of(wid)
     for r in range(phase1_rounds):
-        ids, _ = merge_round(
-            ids, wid, seg, rows0, rows1, seed, mclr,
+        ids, own_l, own_r, _ = merge_round(
+            ids, own_l, own_r, wid, seg, rows0, rows1, seed,
             k_steps=min(FILL_K, max(r + 1, k_min)),
         )
 
     w2 = max(W // 2, 64)
-    extras = (obp,) if obp is not None else ()
+    extras = (own_l, own_r) + ((obp,) if obp is not None else ())
     ids, wid2, bad, extras = compact(ids, wid, w2, extras)
+    own_l, own_r = extras[0], extras[1]
     seg2 = _seg_of(wid2)
 
     def cond(state):
-        return state[1]
+        return state[3]
 
     def body(state):
-        ids, _ = state
-        return merge_round(ids, wid2, seg2, rows0, rows1, seed, mclr)
+        ids, own_l, own_r, _ = state
+        return merge_round(
+            ids, own_l, own_r, wid2, seg2, rows0, rows1, seed
+        )
 
-    ids, _ = jax.lax.while_loop(cond, body, (ids, jnp.array(True)))
-    obp2 = extras[0] if obp is not None else None
+    ids, own_l, own_r, _ = jax.lax.while_loop(
+        cond, body, (ids, own_l, own_r, jnp.array(True))
+    )
+    obp2 = extras[2] if obp is not None else None
     return ids, wid2, bad, obp2

@@ -58,8 +58,8 @@ class CharBpeEngine(DeviceEngineBase):
         self.unk_id = jnp.int32(max(unk_id, 0))
         self.fuse_unk = bool(m.fuse_unk)
         self.prepend = prepend
-        self.d_rows0 = jnp.asarray(table.rows(0))
-        self.d_rows1 = jnp.asarray(table.rows(1))
+        self.d_rows0 = jnp.asarray(table.rows8(0, mclr))
+        self.d_rows1 = jnp.asarray(table.rows8(1, mclr))
         self.seed = jnp.int32(table.seed)
         self.d_mclr = jnp.asarray(mclr)
         self._cross_safe = None

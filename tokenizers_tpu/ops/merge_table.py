@@ -101,6 +101,36 @@ class CuckooMergeTable:
             axis=-1,
         ).astype(np.int32)
 
+    def rows8(self, t: int, mclr: np.ndarray) -> np.ndarray:
+        """Table t as [S, 8] rows (key_a, key_b, rank, new_id,
+        MCL(new_id), MCR(new_id), 0, 0).
+
+        Embedding the merged token's consume-mins (`consume_mins`) in the
+        row lets the merge loop carry per-position (MCL, MCR) as state
+        updated from the lookup it already does — deleting the separate
+        full-width `mclr[ids]` gather every round (gathers cost per index
+        on this backend; the wider row is near-free)."""
+        nid = self.new_id[t]
+        V = mclr.shape[0]
+        cl = np.clip(nid, 0, V - 1)
+        empty = self.key_a[t] == -1
+        mcl = np.where(empty, 0, mclr[cl, 0])
+        mcr = np.where(empty, 0, mclr[cl, 1])
+        zero = np.zeros_like(nid)
+        return np.stack(
+            [
+                self.key_a[t],
+                self.key_b[t],
+                self.rank[t],
+                nid,
+                mcl,
+                mcr,
+                zero,
+                zero,
+            ],
+            axis=-1,
+        ).astype(np.int32)
+
     # ------------------------------------------------------------ host lookup
 
     def lookup_np(self, a: np.ndarray, b: np.ndarray):

@@ -177,10 +177,18 @@ def _piece_nodes(
         a0 = jnp.full((S, L), mult)
         c0 = (b + 1).astype(jnp.uint32)
         _, hh = jax.lax.associative_scan(op, (a0, c0), axis=1)
-        return jnp.concatenate([jnp.zeros((S, 1), jnp.uint32), hh], axis=1)
+        # padded so substring hashes are STATIC slices (take_along_axis
+        # costs per index on this backend)
+        return jnp.concatenate(
+            [jnp.zeros((S, 1), jnp.uint32), hh,
+             jnp.zeros((S, max_len), jnp.uint32)],
+            axis=1,
+        )
 
     E1 = prefix_hash(H1_MULT)
     E2 = prefix_hash(H2_MULT)
+    E1_base = E1[:, :L]
+    E2_base = E2[:, :L]
 
     vmask = vkey_a.shape[1] - 1
     s_ok = inb & is_start
@@ -191,14 +199,8 @@ def _piece_nodes(
     for l in range(1, max_len + 1):
         e = pos + l
         valid = s_ok & (e <= lengths[:, None])
-        h1 = (
-            jnp.take_along_axis(E1, jnp.clip(e, 0, L), axis=1)
-            - jnp.take_along_axis(E1, pos, axis=1) * pow1[l]
-        ).astype(jnp.int32)
-        h2 = (
-            jnp.take_along_axis(E2, jnp.clip(e, 0, L), axis=1)
-            - jnp.take_along_axis(E2, pos, axis=1) * pow2[l]
-        ).astype(jnp.int32)
+        h1 = (E1[:, l : l + L] - E1_base * pow1[l]).astype(jnp.int32)
+        h2 = (E2[:, l : l + L] - E2_base * pow2[l]).astype(jnp.int32)
         g0 = hash_jnp(h1, h2, vseed, vmask, 0)
         g1 = hash_jnp(h1, h2, vseed, vmask, 1)
         hit0 = (vkey_a[0][g0] == h1) & (vkey_b[0][g0] == h2)

@@ -189,10 +189,19 @@ def unigram_program(
         a0 = jnp.full((B, L2), mult)
         c0 = (nb + 1).astype(jnp.uint32)
         _, hh = jax.lax.associative_scan(op, (a0, c0), axis=1)
-        return jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), hh], axis=1)
+        # E[i] over width L2 + max_len + 1: substring hashes come from
+        # STATIC slices (e = npos + l, static l) — take_along_axis costs
+        # ~10ns per index on this backend
+        return jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.uint32), hh,
+             jnp.zeros((B, max_len), jnp.uint32)],
+            axis=1,
+        )
 
     E1 = prefix_hash(H1_MULT)
     E2 = prefix_hash(H2_MULT)
+    E1_base = E1[:, :L2]
+    E2_base = E2[:, :L2]
 
     BIGP = jnp.int32(0x7FFFFFFF)
     nxt_b = jax.lax.cummin(jnp.where(wbnd, npos, BIGP), axis=1, reverse=True)
@@ -206,16 +215,9 @@ def unigram_program(
     costs = []
     pids = []
     for l in range(1, max_len + 1):
-        e = npos + l
-        valid = s_ok & ((e - 1) <= wend)
-        h1 = (
-            jnp.take_along_axis(E1, jnp.clip(e, 0, L2), axis=1)
-            - jnp.take_along_axis(E1, npos, axis=1) * pow1[l]
-        ).astype(jnp.int32)
-        h2 = (
-            jnp.take_along_axis(E2, jnp.clip(e, 0, L2), axis=1)
-            - jnp.take_along_axis(E2, npos, axis=1) * pow2[l]
-        ).astype(jnp.int32)
+        valid = s_ok & ((npos + l - 1) <= wend)
+        h1 = (E1[:, l : l + L2] - E1_base * pow1[l]).astype(jnp.int32)
+        h2 = (E2[:, l : l + L2] - E2_base * pow2[l]).astype(jnp.int32)
         g0 = hash_jnp(h1, h2, vseed, vmask, 0)
         g1 = hash_jnp(h1, h2, vseed, vmask, 1)
         hit0 = (vkey_a[0][g0] == h1) & (vkey_b[0][g0] == h2)
@@ -289,13 +291,23 @@ def unigram_program(
         [jnp.transpose(outs[2], (1, 0)), fin_id[:, :1]], axis=1
     )
 
-    # word-size guard for the bounded backtrack
+    # word-size guard for the bounded backtrack: char count at the word's
+    # last byte via reverse nearest-flag fill (no take_along_axis)
     char_idx = jnp.cumsum(nstart.astype(jnp.int32), axis=1)
-    wchars = (
-        jnp.take_along_axis(char_idx, jnp.clip(wend, 0, L2 - 1), axis=1)
-        - char_idx
-        + 1
+    is_last_b = ninb & (npos == wend)
+
+    def op_rfill(a, c):
+        # reverse=True flips the array, so the SECOND operand is nearer
+        (v1, s1), (v2, s2) = a, c
+        return jnp.where(s2, v2, v1), s1 | s2
+
+    cend, _ = jax.lax.associative_scan(
+        op_rfill,
+        (jnp.where(is_last_b, char_idx, 0), is_last_b),
+        axis=1,
+        reverse=True,
     )
+    wchars = cend - char_idx + 1
     row_bad = row_bad | jnp.any(
         wbnd & (wchars > MAX_TOKENS_PER_WORD), axis=1
     )

@@ -75,7 +75,9 @@ def _decode_chars(b, inb):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_len", "max_word_chars", "expand", "with_offsets"),
+    static_argnames=(
+        "max_len", "max_word_chars", "expand", "with_offsets", "ascii_only",
+    ),
 )
 def wordpiece_program(
     bytes_u8,
@@ -85,10 +87,8 @@ def wordpiece_program(
     norm_ol,
     cls_s1,
     cls_s2,
-    vkey_a,
-    vkey_b,
-    vlen,
-    vid,
+    vrows0,
+    vrows1,
     vseed,
     pow1,
     pow2,
@@ -97,10 +97,19 @@ def wordpiece_program(
     max_word_chars,
     expand=2,
     with_offsets=False,
+    ascii_only=False,
+    ascii_nb=None,
+    ascii_cls=None,
 ):
     """-> (ids int32[B, L2], ntok int32[B], row_bad bool[B]).
 
-    row_bad rows must be re-encoded on the host (normalization overflow)."""
+    row_bad rows must be re-encoded on the host (normalization overflow).
+
+    `ascii_only` (static; caller guarantees all bytes < 128): normalization
+    is a 256-entry byte map (`ascii_nb`, 255 = dropped char) applied on the
+    MXU + one butterfly compaction, and char classes come from `ascii_cls`
+    — no UTF-8 decode, no NORM_K scatter loop, no big-table gathers, and
+    the normalized buffer stays at width L (expand=1)."""
     B, L = bytes_u8.shape
     L2 = L * expand
     b = bytes_u8.astype(jnp.int32)
@@ -108,61 +117,83 @@ def wordpiece_program(
     inb = pos < lengths[:, None]
     b = jnp.where(inb, b, 0)
 
-    # ---- stage 1: normalize ---------------------------------------------
-    cp, is_start, _ = _decode_chars(b, inb)
-    page = norm_s1[cp >> 8]
-    tidx = (page << 8) | (cp & 255)
-    olen = jnp.where(is_start, norm_ol[tidx].astype(jnp.int32), 0)
-    row_bad = jnp.any(olen < 0, axis=1)
-    olen = jnp.maximum(olen, 0)
-    opos = jnp.cumsum(olen, axis=1) - olen  # exclusive
-    total = jnp.sum(olen, axis=1)
-    row_bad = row_bad | (total > L2)
+    if ascii_only:
+        # ---- stage 1+2 (ascii): elementwise map + compaction ------------
+        from .bpe_encode import take256
+        from .route import compact_left
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
-    nb = jnp.zeros((B, L2 + NORM_K), jnp.uint8)
-    for k in range(NORM_K):
-        tgt = jnp.where((k < olen) & is_start, opos + k, L2 + NORM_K - 1)
-        nb = nb.at[rows, tgt].set(
-            jnp.where((k < olen) & is_start, norm_ob[tidx, k], 0).astype(
-                jnp.uint8
-            ),
-            mode="drop",
-        )
-    nb = nb[:, :L2].astype(jnp.int32)
-    npos = jax.lax.broadcasted_iota(jnp.int32, (B, L2), 1)
-    ninb = npos < total[:, None]
-    nb = jnp.where(ninb, nb, 0)
+        assert expand == 1
+        ob = take256(b, ascii_nb)
+        keep = inb & (ob != 255)
+        if with_offsets:
+            (nb, src_char), total = compact_left(
+                (ob, pos), keep, (0, -1)
+            )
+        else:
+            (nb,), total = compact_left((ob,), keep, (0,))
+        npos = jax.lax.broadcasted_iota(jnp.int32, (B, L2), 1)
+        ninb = npos < total[:, None]
+        nb = jnp.where(ninb, nb, 0)
+        if with_offsets:
+            src_char = jnp.where(ninb, src_char, -1)
+        row_bad = jnp.zeros((B,), bool)
+        nstart = ninb
+        cls = jnp.where(ninb, take256(nb, ascii_cls), -1)
+        cls_fill = cls
+    else:
+        # ---- stage 1: normalize ------------------------------------------
+        cp, is_start, _ = _decode_chars(b, inb)
+        page = norm_s1[cp >> 8]
+        tidx = (page << 8) | (cp & 255)
+        olen = jnp.where(is_start, norm_ol[tidx].astype(jnp.int32), 0)
+        row_bad = jnp.any(olen < 0, axis=1)
+        olen = jnp.maximum(olen, 0)
+        opos = jnp.cumsum(olen, axis=1) - olen  # exclusive
+        total = jnp.sum(olen, axis=1)
+        row_bad = row_bad | (total > L2)
 
-    if with_offsets:
-        # source char index per normalized byte: scatter each input char's
-        # index at its output start, then forward-fill
-        in_char_idx = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
-        srcm = jnp.full((B, L2 + NORM_K), -1, jnp.int32)
-        emit = is_start & (olen > 0)
-        srcm = srcm.at[
-            rows, jnp.where(emit, opos, L2 + NORM_K - 1)
-        ].set(jnp.where(emit, in_char_idx, -1), mode="drop")
-        srcm = srcm[:, :L2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
+        nb = jnp.zeros((B, L2 + NORM_K), jnp.uint8)
+        for k in range(NORM_K):
+            tgt = jnp.where((k < olen) & is_start, opos + k, L2 + NORM_K - 1)
+            nb = nb.at[rows, tgt].set(
+                jnp.where((k < olen) & is_start, norm_ob[tidx, k], 0).astype(
+                    jnp.uint8
+                ),
+                mode="drop",
+            )
+        nb = nb[:, :L2].astype(jnp.int32)
+        npos = jax.lax.broadcasted_iota(jnp.int32, (B, L2), 1)
+        ninb = npos < total[:, None]
+        nb = jnp.where(ninb, nb, 0)
 
-        def op_src(a, c):
-            (v1,), (v2,) = a, c
-            return (jnp.where(v2 >= 0, v2, v1),)
+        if with_offsets:
+            # source char index per normalized byte: scatter each input
+            # char's index at its output start, then forward-fill
+            in_char_idx = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+            srcm = jnp.full((B, L2 + NORM_K), -1, jnp.int32)
+            emit = is_start & (olen > 0)
+            srcm = srcm.at[
+                rows, jnp.where(emit, opos, L2 + NORM_K - 1)
+            ].set(jnp.where(emit, in_char_idx, -1), mode="drop")
+            srcm = srcm[:, :L2]
 
-        (src_char,) = jax.lax.associative_scan(op_src, (srcm,), axis=1)
-        src_char = jnp.where(ninb, src_char, -1)
+            def op_src(a, c):
+                (v1,), (v2,) = a, c
+                return (jnp.where(v2 >= 0, v2, v1),)
 
-    # ---- stage 2: bert pre-split ----------------------------------------
-    cp2, nstart, _ = _decode_chars(nb, ninb)
-    pg2 = cls_s1[cp2 >> 8]
-    cls = cls_s2[(pg2 << 8) | (cp2 & 255)].astype(jnp.int32)
-    # per-byte class fill
-    f = jnp.where(nstart, cls, -1)
-    sp = jnp.where(nstart, npos, -1)
-    for _ in range(3):
-        f = jnp.where(f >= 0, f, _shift_prev(f, -1))
-        sp = jnp.where(sp >= 0, sp, _shift_prev(sp, -1))
-    cls_fill, start_fill = f, sp
+            (src_char,) = jax.lax.associative_scan(op_src, (srcm,), axis=1)
+            src_char = jnp.where(ninb, src_char, -1)
+
+        # ---- stage 2: bert pre-split -------------------------------------
+        cp2, nstart, _ = _decode_chars(nb, ninb)
+        pg2 = cls_s1[cp2 >> 8]
+        cls = cls_s2[(pg2 << 8) | (cp2 & 255)].astype(jnp.int32)
+        # per-byte class fill
+        f = jnp.where(nstart, cls, -1)
+        for _ in range(3):
+            f = jnp.where(f >= 0, f, _shift_prev(f, -1))
+        cls_fill = f
     is_ws_b = (cls_fill == BERT_WS) & ninb
     in_word = ninb & ~is_ws_b
     prev_cls = jnp.where(npos == 0, -2, _shift_prev(cls_fill, -2))
@@ -191,13 +222,30 @@ def wordpiece_program(
     headp = jnp.where(in_word & (headp >= 0), headp, -1)
 
     # chars per word (max_input_chars_per_word, reference wordpiece :225)
+    # char count at the word's end, via reverse fill from word-last bytes
+    # (take_along_axis costs ~10ns/index on this backend; scans don't)
     char_idx = jnp.cumsum(nstart.astype(jnp.int32), axis=1)
-    wend_cl = jnp.clip(wend, 0, L2 - 1)
-    wchars = jnp.take_along_axis(char_idx, wend_cl, axis=1) - char_idx + 1
+    is_last_b = ninb & _shift_next(marker, True)
+
+    def op_rfill(a, c):
+        # reverse=True reverses the array then scans forward, so the SECOND
+        # operand is the element nearer to the output position: it wins.
+        (v1, s1), (v2, s2) = a, c
+        return jnp.where(s2, v2, v1), s1 | s2
+
+    cend, _ = jax.lax.associative_scan(
+        op_rfill,
+        (jnp.where(is_last_b, char_idx, 0), is_last_b),
+        axis=1,
+        reverse=True,
+    )
+    wchars = cend - char_idx + 1
     long_word = bnd & (wchars > max_word_chars)
 
     # ---- stage 3: longest match -----------------------------------------
-    # exclusive prefix hashes E[i] = hash(nb[0:i]) with one pad column
+    # exclusive prefix hashes E[i] = hash(nb[0:i]); substring hashes come
+    # from STATIC shifts of E (e = npos + l with static l), never from
+    # take_along_axis (which costs per index on this backend)
     def prefix_hash(mult):
         def op(x, y):
             (a1, c1), (a2, c2) = x, y
@@ -206,14 +254,19 @@ def wordpiece_program(
         a0 = jnp.full((B, L2), mult)
         c0 = (nb + 1).astype(jnp.uint32)
         _, hh = jax.lax.associative_scan(op, (a0, c0), axis=1)
+        # E[i] over width L2 + max_len + 1 (tail zeros are masked by valid)
         return jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.uint32), hh], axis=1
-        )  # E[i] over width L2+1
+            [jnp.zeros((B, 1), jnp.uint32), hh,
+             jnp.zeros((B, max_len), jnp.uint32)],
+            axis=1,
+        )
 
     E1 = prefix_hash(H1_MULT)
     E2 = prefix_hash(H2_MULT)
+    E1_base = E1[:, :L2]
+    E2_base = E2[:, :L2]
 
-    vmask = vkey_a.shape[1] - 1
+    vmask = vrows0.shape[0] - 1
     cont = in_word & nstart & ~bnd
     mix1 = jnp.where(cont, CONT_MIX1, 0)
     mix2 = jnp.where(cont, CONT_MIX2, 0)
@@ -222,22 +275,17 @@ def wordpiece_program(
     mid = jnp.zeros((B, L2), jnp.int32)
     s_ok = in_word & nstart
     for l in range(1, max_len + 1):
-        e = npos + l
-        valid = s_ok & ((e - 1) <= wend)
-        h1 = (
-            jnp.take_along_axis(E1, jnp.clip(e, 0, L2), axis=1)
-            - jnp.take_along_axis(E1, npos, axis=1) * pow1[l]
-        ).astype(jnp.int32) ^ mix1
-        h2 = (
-            jnp.take_along_axis(E2, jnp.clip(e, 0, L2), axis=1)
-            - jnp.take_along_axis(E2, npos, axis=1) * pow2[l]
-        ).astype(jnp.int32) ^ mix2
+        valid = s_ok & ((npos + l - 1) <= wend)
+        h1 = (E1[:, l : l + L2] - E1_base * pow1[l]).astype(jnp.int32) ^ mix1
+        h2 = (E2[:, l : l + L2] - E2_base * pow2[l]).astype(jnp.int32) ^ mix2
         g0 = hash_jnp(h1, h2, vseed, vmask, 0)
         g1 = hash_jnp(h1, h2, vseed, vmask, 1)
-        hit0 = (vkey_a[0][g0] == h1) & (vkey_b[0][g0] == h2)
-        hit1 = (vkey_a[1][g1] == h1) & (vkey_b[1][g1] == h2)
-        stored_l = jnp.where(hit0, vlen[0][g0], vlen[1][g1])
-        stored_id = jnp.where(hit0, vid[0][g0], vid[1][g1])
+        r0 = vrows0[g0]
+        r1 = vrows1[g1]
+        hit0 = (r0[..., 0] == h1) & (r0[..., 1] == h2)
+        hit1 = (r1[..., 0] == h1) & (r1[..., 1] == h2)
+        stored_l = jnp.where(hit0, r0[..., 2], r1[..., 2])
+        stored_id = jnp.where(hit0, r0[..., 3], r1[..., 3])
         hit = valid & (hit0 | hit1) & (stored_l == l)
         m = jnp.where(hit, l, m)
         mid = jnp.where(hit, stored_id, mid)
@@ -250,13 +298,27 @@ def wordpiece_program(
     jump = jnp.concatenate([nxt, jnp.full((B, 1), SINK, jnp.int32)], axis=1)
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (B, L2 + 1), 0)
     # 2^k must cover the max tokens-per-word chain length; one token is at
-    # least one char, so max_word_chars bounds it (default 100 -> k=7)
+    # least one char, so max_word_chars bounds it (default 100 -> k=7).
+    # Early-exit while_loop: real chains are short (~2-4 tokens/word), so
+    # typically 2-3 doublings suffice; each costs a scatter + gather.
     k_dbl = max(7, int(max_word_chars).bit_length())
-    for _ in range(k_dbl):
+
+    def dbl_cond(state):
+        _reach, _jump, more, it = state
+        return more & (it < k_dbl)
+
+    def dbl_body(state):
+        reach, jump, _more, it = state
         stepped = jnp.zeros((B, L2 + 1), bool).at[rows2, jump].max(reach)
         stepped = stepped.at[:, SINK].set(False)
+        grew = jnp.any(stepped & ~reach)
         reach = reach | stepped
         jump = jnp.take_along_axis(jump, jump, axis=1)
+        return reach, jump, grew, it + 1
+
+    reach, jump, _, _ = jax.lax.while_loop(
+        dbl_cond, dbl_body, (reach, jump, jnp.bool_(True), jnp.int32(0))
+    )
     reach = reach[:, :L2]
 
     # failure: a reached in-word position with no match -> whole word [UNK]

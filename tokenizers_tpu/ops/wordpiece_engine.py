@@ -48,10 +48,30 @@ class WordPieceEngine(DeviceEngineBase):
         self.d_norm_ol = jnp.asarray(ol)
         self.d_cls_s1 = jnp.asarray(c1)
         self.d_cls_s2 = jnp.asarray(c2)
-        self.d_vkey_a = jnp.asarray(vtab.key_a)
-        self.d_vkey_b = jnp.asarray(vtab.key_b)
-        self.d_vlen = jnp.asarray(vtab.rank)
-        self.d_vid = jnp.asarray(vtab.new_id)
+        # ascii fast path: normalization as a 256-entry byte map (255 =
+        # dropped char) + per-byte class map, derived from the SAME generic
+        # tables so both paths agree byte-for-byte
+        ascii_ok = True
+        nbmap = np.full(256, 255, np.int32)
+        for cp in range(128):
+            t = (int(s1[cp >> 8]) << 8) | (cp & 255)
+            ln = int(ol[t])
+            if ln == 0:
+                continue  # dropped
+            if ln == 1 and int(ob[t, 0]) < 128:
+                nbmap[cp] = int(ob[t, 0])
+            else:
+                ascii_ok = False  # ascii char normalizing to multi-byte
+                break
+        clsmap = np.zeros(256, np.int32)
+        for v in range(128):
+            pg = int(c1[0])
+            clsmap[v] = int(c2[(pg << 8) | v])
+        self.ascii_ok = ascii_ok
+        self.d_ascii_nb = jnp.asarray(nbmap)
+        self.d_ascii_cls = jnp.asarray(clsmap)
+        self.d_vrows0 = jnp.asarray(vtab.rows(0))
+        self.d_vrows1 = jnp.asarray(vtab.rows(1))
         self.vseed = jnp.int32(vtab.seed)
         with np.errstate(over="ignore"):
             p1 = np.ones(max_len + 1, np.uint32)
@@ -115,7 +135,12 @@ class WordPieceEngine(DeviceEngineBase):
     supports_offsets = True
     offsets_space = "original_chars"
 
-    def _program_offsets(self, buf, lengths):
+    @staticmethod
+    def _is_ascii(buf) -> bool:
+        return isinstance(buf, np.ndarray) and int(buf.max(initial=0)) < 128
+
+    def _run(self, buf, lengths, with_offsets):
+        ascii_fast = self.ascii_ok and self._is_ascii(buf)
         return wordpiece_program(
             buf,
             lengths,
@@ -124,36 +149,23 @@ class WordPieceEngine(DeviceEngineBase):
             self.d_norm_ol,
             self.d_cls_s1,
             self.d_cls_s2,
-            self.d_vkey_a,
-            self.d_vkey_b,
-            self.d_vlen,
-            self.d_vid,
+            self.d_vrows0,
+            self.d_vrows1,
             self.vseed,
             self.d_pow1,
             self.d_pow2,
             self.unk_id,
             max_len=self.max_len,
             max_word_chars=self.max_word_chars,
-            with_offsets=True,
+            expand=1 if ascii_fast else 2,
+            with_offsets=with_offsets,
+            ascii_only=ascii_fast,
+            ascii_nb=self.d_ascii_nb if ascii_fast else None,
+            ascii_cls=self.d_ascii_cls if ascii_fast else None,
         )
 
+    def _program_offsets(self, buf, lengths):
+        return self._run(buf, lengths, True)
+
     def _program(self, buf, lengths):
-        return wordpiece_program(
-            buf,
-            lengths,
-            self.d_norm_s1,
-            self.d_norm_ob,
-            self.d_norm_ol,
-            self.d_cls_s1,
-            self.d_cls_s2,
-            self.d_vkey_a,
-            self.d_vkey_b,
-            self.d_vlen,
-            self.d_vid,
-            self.vseed,
-            self.d_pow1,
-            self.d_pow2,
-            self.unk_id,
-            max_len=self.max_len,
-            max_word_chars=self.max_word_chars,
-        )
+        return self._run(buf, lengths, False)

@@ -61,16 +61,20 @@ def main():
 
         timeit(f"gather  table=2^{tbits} idx={BL>>20}M", loop(g), table, idx, n_elems=BL)
 
-    # gather of 4-wide rows
+    # gather of w-wide rows: does cost scale per index or per byte?
     T = 1 << 16
-    rows = jnp.zeros((T, 4), jnp.int32)
     idx = jax.random.randint(key, (256, BL // 256), 0, T, jnp.int32)
+    for w in (2, 4, 8, 16):
+        rows = jnp.zeros((T, w), jnp.int32)
 
-    def g4(i, rows, idx):
-        r = rows[(idx + i) & (T - 1)]
-        return jnp.sum(r)
+        def gw(i, rows, idx):
+            r = rows[(idx + i) & (T - 1)]
+            return jnp.sum(r)
 
-    timeit(f"gather4 rows=2^16x4 idx={BL>>20}M", loop(g4), rows, idx, n_elems=BL)
+        timeit(
+            f"gather{w} rows=2^16x{w} idx={BL>>20}M", loop(gw), rows, idx,
+            n_elems=BL,
+        )
 
     # ---- scatter: set with dump-slot pattern (the layout pattern) ----
     N = 1 << 20
@@ -164,6 +168,52 @@ def main():
 
     timeit("fill_next k=3 [256,8192]", loop(fn3), ids, n_elems=BL)
 
+    # ---- butterfly compaction vs scatter compaction ----
+    from tokenizers_tpu.ops.route import compact_left
+
+    x2 = jax.random.randint(key, (256, BL // 256), -1, 255, jnp.int32)
+
+    # NOTE: loop bodies must depend on i via ADDITION (x + i) — `x + i*0`
+    # is algebraically simplified by XLA and the whole body gets hoisted
+    # out of the fori_loop, timing an empty loop.
+    def bc_row(i, x2):
+        x = x2 + i
+        (out,), cnt = compact_left((x,), x >= 0, (-1,))
+        return jnp.sum(out) + jnp.sum(cnt)
+
+    timeit("butterfly compact per-row [256,8192]", loop(bc_row), x2, n_elems=BL)
+
+    def bc_wrap(i, x2):
+        x = x2 + i
+        (out,), cnt = compact_left((x,), x >= 0, (-1,), wrap=True)
+        return jnp.sum(out) + cnt
+
+    timeit("butterfly compact wrap [256,8192]", loop(bc_wrap), x2, n_elems=BL)
+
+    def bc_wrap4(i, x2):
+        x = x2 + i
+        vals = (x, x2, x2, x2)
+        out, cnt = compact_left(vals, x >= 0, (-1, -1, -1, -1), wrap=True)
+        return jnp.sum(out[0]) + cnt
+
+    timeit("butterfly compact wrap x4 arrays", loop(bc_wrap4), x2, n_elems=BL)
+
+    def sc_compact(i, x2):
+        x = x2 + i
+        alive = x >= 0
+        k = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, x2.shape, 0)
+        W = x2.shape[1]
+        tgt = jnp.where(alive, k, W)
+        out = (
+            jnp.full((x2.shape[0], W + 1), -1, jnp.int32)
+            .at[rows_i, tgt]
+            .set(x)[:, :W]
+        )
+        return jnp.sum(out)
+
+    timeit("scatter compact per-row [256,8192]", loop(sc_compact), x2, n_elems=BL)
+
     # ---- one full merge round at two geometries ----
     from tokenizers_tpu.ops.bpe_merge2 import merge_round
 
@@ -177,15 +227,19 @@ def main():
             [jnp.full((R, 1), -2, jnp.int32), wid[:, :-1]], axis=1
         )
         idsr = jax.random.randint(key, (R, C), 0, 255, jnp.int32)
-        rows0 = jnp.zeros((1 << 16, 4), jnp.int32)
-        rows1 = jnp.zeros((1 << 16, 4), jnp.int32)
+        rows0 = jnp.zeros((1 << 16, 8), jnp.int32)
+        rows1 = jnp.zeros((1 << 16, 8), jnp.int32)
+        ol = jnp.zeros((R, C), jnp.int32)
 
-        def mr(i, idsr, wid, seg, rows0, rows1):
-            out, _ = merge_round(idsr + i * 0, wid, seg, rows0, rows1, jnp.int32(1))
+        def mr(i, idsr, ol, wid, seg, rows0, rows1):
+            out, _ol, _or, _f = merge_round(
+                idsr + i, ol, ol, wid, seg, rows0, rows1, jnp.int32(1)
+            )
             return jnp.sum(out)
 
         timeit(
-            f"merge_round [{R},{C}]", loop(mr), idsr, wid, seg, rows0, rows1, n_elems=n
+            f"merge_round [{R},{C}]", loop(mr), idsr, ol, wid, seg, rows0,
+            rows1, n_elems=n,
         )
 
 

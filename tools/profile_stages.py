@@ -142,78 +142,56 @@ def main():
     timeit("+ finish (merge stubbed to compact)", loop(p3), d_buf, d_len)
     dd.run_merge_phases = real_merge
 
-    # count merge rounds on the real unique buffer
-    rounds_counter = {}
-
-    def counting_merge(ids, wid, r0, r1, s, phase1_rounds=6, obp=None):
+    # count merge rounds on the full grid after 4 phase-1 rounds
+    def p_count(bytes_u8, lengths):
         from tokenizers_tpu.ops.bpe_merge2 import (
             _seg_of,
             compact,
+            init_own,
             merge_round,
         )
 
-        seg = _seg_of(wid)
-        for r in range(phase1_rounds):
-            ids, _ = merge_round(ids, wid, seg, r0, r1, s, m, k_steps=r + 1)
-        w2 = max(ids.shape[1] // 2, 64)
-        ids, wid2, bad, _ = compact(ids, wid, w2)
-        seg2 = _seg_of(wid2)
-
-        def cond(state):
-            return state[1]
-
-        def body(state):
-            ids, _, n = state
-            ids, more = merge_round(ids, wid2, seg2, r0, r1, s, m)
-            return ids, more, n + 1
-
-        ids, _, n = jax.lax.while_loop(
-            cond, body, (ids, jnp.array(True), jnp.int32(0))
-        )
-        rounds_counter["n"] = True
-        return ids, wid2, bad, n
-
-    def p_rounds(bytes_u8, lengths):
         b, bnd, inb, nxt_bnd, fits, dops = upto_layout(0, bytes_u8, lengths, geom)
-        out = dedup_finish(dops, b, byte2id, rows0, rows1, seed, mclr, L // 2, geom)
-        return out
-
-    # hack: count rounds via a bare run on the unique buffer
-    def p_count(bytes_u8, lengths):
-        from tokenizers_tpu.ops.bpe_merge2 import _seg_of, compact, merge_round
-
-        b, bnd, inb, nxt_bnd, fits, dops = upto_layout(0, bytes_u8, lengths, geom)
-        # rebuild the unique buffer the way dedup_finish does (first part)
-        # simpler: run full-width merge on the [B, L] grid and count rounds
         ids0 = jnp.where(inb, byte2id[b], -1)
         wid = jnp.where(inb, jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1, -1)
         seg = _seg_of(wid)
+        ol, orr = init_own(ids0, mclr)
         for r in range(4):
-            ids0, _ = merge_round(ids0, wid, seg, rows0, rows1, seed, mclr, k_steps=r + 1)
+            ids0, ol, orr, _ = merge_round(
+                ids0, ol, orr, wid, seg, rows0, rows1, seed, k_steps=r + 1
+            )
         w2 = max(L // 2, 64)
-        ids0, wid2, bad, _ = compact(ids0, wid, w2)
+        ids0, wid2, bad, (ol, orr) = compact(ids0, wid, w2, (ol, orr))
         seg2 = _seg_of(wid2)
 
         def cond(state):
-            return state[1]
+            return state[3]
 
         def body(state):
-            ids, _, n = state
-            ids, more = merge_round(ids, wid2, seg2, rows0, rows1, seed, mclr)
-            return ids, more, n + 1
+            ids, ol, orr, _, n = state
+            ids, ol, orr, more = merge_round(
+                ids, ol, orr, wid2, seg2, rows0, rows1, seed
+            )
+            return ids, ol, orr, more, n + 1
 
-        _, _, n = jax.lax.while_loop(
-            cond, body, (ids0, jnp.array(True), jnp.int32(0))
+        def cond2(state):
+            return state[3]
+
+        _, _, _, _, n = jax.lax.while_loop(
+            cond2, body, (ids0, ol, orr, jnp.array(True), jnp.int32(0))
         )
         return n
 
     n = int(jax.jit(p_count)(d_buf, d_len))
     print(f"while-loop merge rounds after 4 phase-1 rounds (full grid): {n}", flush=True)
 
-    # stage 4: full program (no cache) as the bench runs it
+    # stage 4: full program (no cache) as the bench runs it.  The input
+    # MUST depend on the loop index or XLA hoists the whole encode out of
+    # the fori_loop and the number is fiction.
     def p4(i, bytes_u8, lengths):
-        ids, ntok, bad = encode_program(bytes_u8, lengths, **kw)
-        return jnp.sum(ntok) + i * 0
+        b_i = bytes_u8 ^ (i * 0).astype(jnp.uint8)
+        ids, ntok, bad = encode_program(b_i, lengths, **kw)
+        return jnp.sum(ntok)
 
     timeit("full encode_program (bench config)", loop(p4), d_buf, d_len)
 
@@ -228,12 +206,18 @@ def main():
         ).astype(jnp.int32)
         seg = _seg_of(wid)
         idsr = jax.random.randint(key, (ru, uc), 0, 255, jnp.int32)
+        olz = jnp.zeros((ru, uc), jnp.int32)
 
-        def mr(i, idsr, wid, seg):
-            out, _ = merge_round(idsr + i * 0, wid, seg, rows0, rows1, seed, mclr)
+        def mr(i, idsr, olz, wid, seg):
+            out, _l, _r, _f = merge_round(
+                idsr + i * 0, olz, olz, wid, seg, rows0, rows1, seed
+            )
             return jnp.sum(out)
 
-        dt = timeit(f"merge_round on ubuf {nm} [{ru},{uc}]", loop(mr), idsr, wid, seg)
+        dt = timeit(
+            f"merge_round on ubuf {nm} [{ru},{uc}]", loop(mr), idsr, olz,
+            wid, seg,
+        )
 
     # end-to-end un-jitted overhead: dispatch 16 chunks w/ final sync
     def run16():
@@ -252,6 +236,38 @@ def main():
         f"16-chunk dispatch loop: {dt*1e3:.1f} ms total -> {tot/dt/1e6:.1f} MB/s",
         flush=True,
     )
+
+    # the bench's actual configuration: ONE scan dispatch over 16 chunks
+    from tokenizers_tpu.ops.bpe_encode import encode_program_scan
+
+    bufs16 = jnp.stack([d_buf] * 16)
+    lens16 = jnp.stack([d_len] * 16)
+    ascii_only = bool(np.asarray(buf).max(initial=0) < 128)
+
+    def run_scan(cache):
+        if cache:
+            st = eng._ensure_cache()
+            ids, ntok, bad, st2 = encode_program_scan(
+                bufs16, lens16, cache_rows=st[0], cache_buf=st[1],
+                cache_p=st[2], ascii_only=ascii_only, **kw
+            )
+            eng._wc = list(st2)
+        else:
+            ids, ntok, bad, _ = encode_program_scan(
+                bufs16, lens16, ascii_only=ascii_only, word_cache=False, **kw
+            )
+        return int(jnp.sum(ntok))
+
+    for cache in (False, True):
+        run_scan(cache)
+        t0 = time.perf_counter()
+        run_scan(cache)
+        dt = time.perf_counter() - t0
+        print(
+            f"scan-16 program (cache={cache}): {dt*1e3:.1f} ms"
+            f" -> {tot/dt/1e6:.1f} MB/s",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
