@@ -27,6 +27,14 @@ extern char *tokenizers_decode(const CTokenizer *, const uint32_t *, size_t,
                                bool, int *);
 extern void tokenizers_free_string(char *);
 extern int32_t tokenizers_token_to_id(const CTokenizer *, const char *, int *);
+extern size_t tokenizers_encoding_len(const CEncoding *);
+extern CEncoding **tokenizers_encode_batch(CTokenizer *, const char **seqs,
+                                           size_t n, bool add_special,
+                                           int *status);
+extern void tokenizers_encoding_array_free(CEncoding **, size_t n);
+extern int tokenizers_train_from_files(CTokenizer *, const char **files,
+                                       size_t n, const char *trainer_json,
+                                       int *status);
 
 static char *read_file(const char *path) {
   FILE *f = fopen(path, "rb");
@@ -45,6 +53,52 @@ static char *read_file(const char *path) {
   return buf;
 }
 
+/* --batch mode: encode argv[3..] as one batch, print per-input ids via
+ * tokenizers_encode_batch + tokenizers_encoding_len. */
+static int run_batch(CTokenizer *tok, int n, char **seqs) {
+  int status = -1;
+  CEncoding **encs =
+      tokenizers_encode_batch(tok, (const char **)seqs, n, true, &status);
+  if (!encs || status != 0) {
+    fprintf(stderr, "encode_batch failed: %s\n", tokenizers_get_last_error());
+    return 1;
+  }
+  for (int i = 0; i < n; i++) {
+    size_t len = tokenizers_encoding_len(encs[i]);
+    uint32_t *ids = malloc(len * sizeof(uint32_t));
+    tokenizers_encoding_get_ids(encs[i], ids, len);
+    printf("ids[%d]:", i);
+    for (size_t j = 0; j < len; j++) printf(" %u", ids[j]);
+    printf("\n");
+    free(ids);
+  }
+  tokenizers_encoding_array_free(encs, n);
+  return 0;
+}
+
+/* --train mode: argv[3] = corpus file; train BPE vocab 40, print size of
+ * an encode of "hug". */
+static int run_train(CTokenizer *tok, const char *corpus) {
+  int status = -1;
+  const char *files[1] = {corpus};
+  int r = tokenizers_train_from_files(
+      tok, files, 1, "{\"type\": \"BpeTrainer\", \"vocab_size\": 40}",
+      &status);
+  if (r != 0 || status != 0) {
+    fprintf(stderr, "train failed: %s\n", tokenizers_get_last_error());
+    return 1;
+  }
+  size_t len = 0;
+  CEncoding *enc = tokenizers_encode(tok, "hug", NULL, true, &len, &status);
+  if (!enc) {
+    fprintf(stderr, "post-train encode failed\n");
+    return 1;
+  }
+  printf("trained_encode_len: %zu\n", len);
+  tokenizers_encoding_free(enc);
+  return 0;
+}
+
 int main(int argc, char **argv) {
   if (argc < 3) {
     fprintf(stderr, "usage: %s tokenizer.json text [pair]\n", argv[0]);
@@ -61,6 +115,16 @@ int main(int argc, char **argv) {
   if (!tok || status != 0) {
     fprintf(stderr, "create failed: %s\n", tokenizers_get_last_error());
     return 1;
+  }
+  if (strcmp(argv[2], "--batch") == 0) {
+    int r = run_batch(tok, argc - 3, argv + 3);
+    tokenizers_free(tok);
+    return r;
+  }
+  if (strcmp(argv[2], "--train") == 0 && argc > 3) {
+    int r = run_train(tok, argv[3]);
+    tokenizers_free(tok);
+    return r;
   }
   size_t len = 0;
   CEncoding *enc = tokenizers_encode(tok, argv[2], argc > 3 ? argv[3] : NULL,

@@ -73,3 +73,48 @@ def test_c_encode_pair(driver):
     got = run_driver(driver, "first part", "second part")
     exp = tok.encode("first part", "second part")
     assert [int(x) for x in got["ids"].split()] == exp.ids
+
+
+def test_c_encode_batch(driver):
+    """tokenizers_encode_batch + tokenizers_encoding_len via the driver's
+    --batch mode (the entry points the Node binding calls)."""
+    batch = ["Hello world!", "don't stop", "  x"]
+    out = run_driver(driver, "--batch", *batch)
+    tok = Tokenizer.from_file(FIXTURE)
+    expect = [e.ids for e in tok.encode_batch_fast(batch)]
+    got = [
+        [int(x) for x in out[f"ids[{i}]"].split()] for i in range(len(batch))
+    ]
+    assert got == expect
+
+
+def test_c_train(driver, tmp_path):
+    """tokenizers_train_from_files with a JSON trainer config."""
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("hug hugs hugging pug pugs mug smug hug hugs\n" * 4)
+    import json
+
+    cfg = tmp_path / "empty_bpe.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "version": "1.0",
+                "model": {"type": "BPE", "vocab": {}, "merges": []},
+                "pre_tokenizer": {"type": "Whitespace"},
+            }
+        )
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [driver, str(cfg), "--train", str(corpus)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "trained_encode_len:" in r.stdout
+    n = int(r.stdout.split("trained_encode_len:")[1].split()[0])
+    assert 1 <= n <= 3

@@ -292,6 +292,10 @@ CEncoding *tokenizers_encode(CTokenizer *tokenizer, const char *sequence,
 
 void tokenizers_encoding_free(CEncoding *encoding) { delete encoding; }
 
+size_t tokenizers_encoding_len(const CEncoding *encoding) {
+  return encoding == nullptr ? 0 : encoding->ids.size();
+}
+
 #define COPY_FN(name, field, ctype)                                       \
   void name(const CEncoding *encoding, ctype *buffer, size_t len) {       \
     if (encoding == nullptr || buffer == nullptr) return;                 \
@@ -677,6 +681,121 @@ int tokenizers_disable_truncation(CTokenizer *tokenizer, int *status) {
     return -1;
   }
   Py_DECREF(r);
+  set_status(status, 0);
+  return 0;
+}
+
+// Batch encode: returns a malloc'd array of n CEncoding pointers (each
+// freed with tokenizers_encoding_free; the array itself with
+// tokenizers_encoding_array_free).  Routes through encode_batch so the
+// device engine amortizes the whole batch in one program.
+CEncoding **tokenizers_encode_batch(CTokenizer *tokenizer,
+                                    const char **sequences, size_t n,
+                                    bool add_special_tokens, int *status) {
+  if (tokenizer == nullptr || (sequences == nullptr && n > 0)) {
+    set_last_error("tokenizers_encode_batch received null pointer");
+    set_status(status, 1);
+    return nullptr;
+  }
+  GIL gil;
+  PyObject *list = PyList_New(static_cast<Py_ssize_t>(n));
+  if (list == nullptr) {
+    set_status(status, 4);
+    return nullptr;
+  }
+  for (size_t i = 0; i < n; i++) {
+    PyObject *s = PyUnicode_FromString(sequences[i]);
+    if (s == nullptr) {
+      Py_DECREF(list);
+      set_last_error("tokenizers_encode_batch: invalid UTF-8 input");
+      set_status(status, 1);
+      return nullptr;
+    }
+    PyList_SET_ITEM(list, static_cast<Py_ssize_t>(i), s);
+  }
+  PyObject *method =
+      PyObject_GetAttrString(tokenizer->tok, "encode_batch");
+  PyObject *args = Py_BuildValue("(O)", list);
+  PyObject *kwargs = Py_BuildValue(
+      "{s:O}", "add_special_tokens", add_special_tokens ? Py_True : Py_False);
+  PyObject *encs = (method != nullptr && args != nullptr && kwargs != nullptr)
+                       ? PyObject_Call(method, args, kwargs)
+                       : nullptr;
+  Py_XDECREF(method);
+  Py_XDECREF(args);
+  Py_XDECREF(kwargs);
+  Py_DECREF(list);
+  if (encs == nullptr) {
+    set_last_error("tokenizers_encode_batch failed: " + py_err_string());
+    set_status(status, 4);
+    return nullptr;
+  }
+  CEncoding **out =
+      static_cast<CEncoding **>(malloc(sizeof(CEncoding *) * (n ? n : 1)));
+  for (size_t i = 0; i < n; i++) {
+    PyObject *e = PySequence_GetItem(encs, static_cast<Py_ssize_t>(i));
+    out[i] = e != nullptr ? encoding_from_py(e) : nullptr;
+    Py_XDECREF(e);
+  }
+  Py_DECREF(encs);
+  clear_last_error();
+  set_status(status, 0);
+  return out;
+}
+
+void tokenizers_encoding_array_free(CEncoding **encodings, size_t n) {
+  if (encodings == nullptr) return;
+  for (size_t i = 0; i < n; i++) delete encodings[i];
+  free(encodings);
+}
+
+// Train from files with a JSON trainer config {"type": "BpeTrainer"|
+// "WordPieceTrainer"|"UnigramTrainer"|"WordLevelTrainer", ...kwargs} (null
+// = the model's default trainer), mirroring Tokenizer.train.
+int tokenizers_train_from_files(CTokenizer *tokenizer, const char **files,
+                                size_t n, const char *trainer_json,
+                                int *status) {
+  if (tokenizer == nullptr || files == nullptr) {
+    set_last_error("tokenizers_train_from_files received null pointer");
+    set_status(status, 1);
+    return -1;
+  }
+  GIL gil;
+  PyObject *list = PyList_New(static_cast<Py_ssize_t>(n));
+  for (size_t i = 0; i < n; i++) {
+    PyList_SET_ITEM(list, static_cast<Py_ssize_t>(i),
+                    PyUnicode_FromString(files[i]));
+  }
+  PyObject *trainer = Py_None;
+  Py_INCREF(Py_None);
+  if (trainer_json != nullptr) {
+    Py_DECREF(Py_None);
+    PyObject *helpers =
+        PyImport_ImportModule("tokenizers_tpu.serialization");
+    trainer = helpers != nullptr
+                  ? PyObject_CallMethod(helpers, "trainer_from_json", "s",
+                                        trainer_json)
+                  : nullptr;
+    Py_XDECREF(helpers);
+    if (trainer == nullptr) {
+      Py_DECREF(list);
+      set_last_error("tokenizers_train_from_files: bad trainer config: " +
+                     py_err_string());
+      set_status(status, 2);
+      return -1;
+    }
+  }
+  PyObject *r =
+      PyObject_CallMethod(tokenizer->tok, "train", "OO", list, trainer);
+  Py_DECREF(list);
+  Py_DECREF(trainer);
+  if (r == nullptr) {
+    set_last_error("tokenizers_train_from_files failed: " + py_err_string());
+    set_status(status, 3);
+    return -1;
+  }
+  Py_DECREF(r);
+  clear_last_error();
   set_status(status, 0);
   return 0;
 }

@@ -1,0 +1,290 @@
+"""Pallas-fused BPE merge round.
+
+The lax formulation of one safe-set merge round (`bpe_merge2.merge_round`)
+lowers to ~400-500 XLA ops (shift-fills, segmented scans, selects), and on
+this backend a round costs ~3.5-4.5 ms dominated by fixed per-op overhead
+(PERF.md) — ~20 rounds of that dominates the whole encode.  Here the round
+is two Pallas kernels with the only irreducibly-random-access op — the
+merge-table row gather — left to XLA between them:
+
+    kernel A (VMEM): adjacency fill -> pair (a, b) -> cuckoo slot hashes
+    XLA:             r0 = rows0[h0], r1 = rows1[h1]  (row gathers) + select
+    kernel B (VMEM): validity, equal-rank runs, parity, head/tail safety,
+                     word-min, apply merges, kill right members
+
+Mosaic lowering rules learned by bisection on this backend (see PERF.md):
+`jax.lax.associative_scan` does not lower (zero-size slice), and
+`jnp.concatenate` on BOOL vectors crashes the compiler — int32 shifts of
+any distance are fine.  So every scan is a hand-rolled Hillis-Steele
+doubling over static int32 shifts, and every mask that crosses a shift is
+carried as int32 0/1.  The arithmetic is identical to the lax path, which
+remains the CPU/test oracle — the two are fuzzed bit-equal in
+tests/test_merge_pallas.py.
+
+Grid: one program per [RB, C] row block; rows are independent because
+words never cross buffer rows (bpe_dedup layout invariant / packed input
+rows).  Requires C % 128 == 0; rows are padded up to RB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .bpe_merge2 import INF
+from .merge_table import hash_jnp
+
+RB = 8  # rows per program instance (int32 sublane tile)
+BIG = np.int32(0x3FFFFFF0)
+
+
+def supported(shape) -> bool:
+    R, C = shape
+    return C % 128 == 0 and C >= 256  # rows are padded up to RB
+
+
+def _shn(x, fill, k):
+    if k >= x.shape[1]:
+        return jnp.full(x.shape, fill, x.dtype)
+    return jnp.concatenate(
+        [x[:, k:], jnp.full((x.shape[0], k), fill, x.dtype)], axis=1
+    )
+
+
+def _shp(x, fill, k):
+    if k >= x.shape[1]:
+        return jnp.full(x.shape, fill, x.dtype)
+    return jnp.concatenate(
+        [jnp.full((x.shape[0], k), fill, x.dtype), x[:, :-k]], axis=1
+    )
+
+
+def _fill_dir(vals, alive_b, k_steps, shift):
+    """fill_next/fill_prev with the found-mask carried as int32 (bool
+    concatenate crashes Mosaic).  Bit-identical to bpe_merge2.fill_*."""
+    ai = alive_b.astype(jnp.int32)
+    fnd = shift(ai, 0, 1)
+    zs = [shift(jnp.where(alive_b, v, 0), 0, 1) for v in vals]
+    s = 1
+    for _ in range(k_steps):
+        fnd_s = shift(fnd, 0, s)
+        fb = fnd > 0
+        zs = [jnp.where(fb, z, shift(z, 0, s)) for z in zs]
+        fnd = fnd | fnd_s
+        s *= 2
+    return zs, fnd > 0
+
+
+def fill_next_i(vals, alive_b, k_steps):
+    return _fill_dir(vals, alive_b, k_steps, _shn)
+
+
+def fill_prev_i(vals, alive_b, k_steps):
+    return _fill_dir(vals, alive_b, k_steps, _shp)
+
+
+def _seg_min(r, seg_start_b, C):
+    """min of r within segments (both directions), Hillis-Steele doubling
+    with int32 segment flags."""
+    INF32 = jnp.int32(INF)
+    seg_start = seg_start_b.astype(jnp.int32)
+    seg_end = _shn(seg_start, 1, 1)
+
+    def sweep(f0, shift):
+        v, f = r, f0
+        d = 1
+        while d < C:
+            pv = shift(v, INF32, d)
+            pf = shift(f, 1, d)  # beyond the row = "segment complete"
+            v = jnp.where(f > 0, v, jnp.minimum(pv, v))
+            f = f | pf
+            d *= 2
+        return v
+
+    return jnp.minimum(sweep(seg_start, _shp), sweep(seg_end, _shn))
+
+
+def _seg_count(add_b, reset_b, C):
+    """Inclusive segmented sum of `add`, restarting at `reset`."""
+    v = add_b.astype(jnp.int32)
+    f = reset_b.astype(jnp.int32)
+    d = 1
+    while d < C:
+        pv = _shp(v, 0, d)
+        pf = _shp(f, 1, d)
+        v = jnp.where(f > 0, v, pv + v)
+        f = f | pf
+        d *= 2
+    return v
+
+
+def _fill_last(vals, isset_b, C, reverse=False):
+    """Per position: values at the last set position at-or-before it
+    (at-or-after when reverse)."""
+    shift = _shn if reverse else _shp
+    vs = [jnp.where(isset_b, v, 0) for v in vals]
+    s = isset_b.astype(jnp.int32)
+    d = 1
+    while d < C:
+        pvs = [shift(v, 0, d) for v in vs]
+        ps = shift(s, 0, d)
+        sb = s > 0
+        vs = [jnp.where(sb, v, pv) for v, pv in zip(vs, pvs)]
+        s = s | ps
+        d *= 2
+    return vs
+
+
+def _keys_kernel(seed_ref, ids_ref, h0_ref, h1_ref, nid_ref,
+                 *, k_steps, mask):
+    ids = ids_ref[:]
+    seed = seed_ref[0]
+    alive = ids >= 0
+    (nid,), _ = fill_next_i([ids], alive, k_steps)
+    nid_ref[:] = nid
+    h0_ref[:] = hash_jnp(ids, nid, seed, mask, 0)
+    h1_ref[:] = hash_jnp(ids, nid, seed, mask, 1)
+
+
+def _apply_kernel(
+    ids_ref, own_l_ref, own_r_ref, wid_ref, r_ref, nw_ref, ml_ref, mr_ref,
+    ids_o, own_l_o, own_r_o, f_o, *, k_steps,
+):
+    C = ids_ref.shape[1]
+    ids = ids_ref[:]
+    own_l = own_l_ref[:]
+    own_r = own_r_ref[:]
+    wid = wid_ref[:]
+    r_in = r_ref[:]
+    new_id = nw_ref[:]
+    mcl_new = ml_ref[:]
+    mcr_new = mr_ref[:]
+
+    INF32 = jnp.int32(INF)
+    alive = ids >= 0
+    seg = wid != _shp(wid, -2, 1)
+    mcl_own = jnp.where(alive, own_l, INF32)
+    mcr_own = jnp.where(alive, own_r, INF32)
+
+    (nid, nwid, nmcr), nfnd = fill_next_i(
+        [ids, wid, mcr_own], alive, k_steps
+    )
+    valid = alive & nfnd & (nwid == wid)
+    r = jnp.where(valid, r_in, INF32)
+    cand = valid & (r < INF32)
+
+    (nr, nvalid, nnmcr), _ = fill_next_i(
+        [r, valid.astype(jnp.int32), nmcr], alive, k_steps
+    )
+    (pr, pw, pmcl), pfound = fill_prev_i([r, wid, mcl_own], alive, k_steps)
+    prev_in_word = pfound & (pw == wid)
+
+    same_run_prev = cand & prev_in_word & (pr == r)
+    run_start = cand & ~same_run_prev
+    has_next_pair = valid & nfnd & (nvalid == 1)
+    same_run_next = cand & has_next_pair & (nr == r)
+    tail = cand & ~same_run_next
+
+    head_ok = run_start & (~prev_in_word | ((r < pr) & (r <= pmcl)))
+    tail_ok = tail & (r < nr) & (
+        ~has_next_pair | (r <= jnp.minimum(nnmcr, jnp.int32(BIG)) + 1)
+    )
+
+    q = _seg_count(cand, seg, C)
+    hl, q_head = _fill_last([head_ok.astype(jnp.int32), q], run_start, C)
+    (tl,) = _fill_last([tail_ok.astype(jnp.int32)], tail, C, reverse=True)
+    parity_odd = ((q - q_head) & 1) == 0
+
+    wmin = _seg_min(r, seg, C)
+    f = cand & parity_odd & ((r == wmin) | ((hl == 1) & (tl == 1)))
+
+    (pm,), pfnd = fill_prev_i([f.astype(jnp.int32)], alive, k_steps)
+    kill = alive & pfnd & (pm == 1)
+    ids_o[:] = jnp.where(kill, -1, jnp.where(f, new_id, ids))
+    own_l_o[:] = jnp.where(f, mcl_new, own_l)
+    own_r_o[:] = jnp.where(f, mcr_new, own_r)
+    f_o[:] = f.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k_steps", "interpret"))
+def merge_round_pallas(
+    ids, own_l, own_r, wid, rows0, rows1, seed, k_steps=9, interpret=False
+):
+    """Pallas-fused equivalent of `bpe_merge2.merge_round` (seg is derived
+    from wid in-kernel).  Returns (ids, own_l, own_r, any_f)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R0, C = ids.shape
+    if R0 % RB:
+        pad = RB - R0 % RB
+
+        def padr(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((pad, C), fill, x.dtype)], axis=0
+            )
+
+        ids = padr(ids, -1)
+        own_l = padr(own_l, 0)
+        own_r = padr(own_r, 0)
+        wid = padr(wid, -1)
+    R = ids.shape[0]
+    mask = rows0.shape[0] - 1
+    grid = (R // RB,)
+    blk = pl.BlockSpec((RB, C), lambda i: (i, 0))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    h0, h1, nid = pl.pallas_call(
+        functools.partial(_keys_kernel, k_steps=k_steps, mask=mask),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk,
+        ],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((R, C), jnp.int32)] * 3,
+        interpret=interpret,
+    )(seed_arr, ids)
+
+    r0 = rows0[h0]
+    r1 = rows1[h1]
+    hit0 = (r0[..., 0] == ids) & (r0[..., 1] == nid)
+    hit1 = (r1[..., 0] == ids) & (r1[..., 1] == nid)
+    sel = lambda k: jnp.where(hit0, r0[..., k], r1[..., k])  # noqa: E731
+    r_in = jnp.where(hit0 | hit1, sel(2), jnp.int32(INF))
+    new_id = sel(3)
+    mcl_new = sel(4)
+    mcr_new = sel(5)
+
+    ids2, own_l2, own_r2, f = pl.pallas_call(
+        functools.partial(_apply_kernel, k_steps=k_steps),
+        grid=grid,
+        in_specs=[blk] * 8,
+        out_specs=[blk] * 4,
+        out_shape=[jax.ShapeDtypeStruct((R, C), jnp.int32)] * 4,
+        interpret=interpret,
+    )(ids, own_l, own_r, wid, r_in, new_id, mcl_new, mcr_new)
+    if R != R0:
+        ids2, own_l2, own_r2 = (
+            ids2[:R0], own_l2[:R0], own_r2[:R0]
+        )
+    return ids2, own_l2, own_r2, jnp.any(f > 0)
+
+
+_backend_ok = None
+
+
+def use_pallas() -> bool:
+    """Pallas rounds only on the real TPU backend; the lax path stays the
+    oracle on CPU (tests) and anywhere Mosaic is unavailable."""
+    global _backend_ok
+    if _backend_ok is None:
+        try:
+            _backend_ok = jax.default_backend() not in ("cpu",)
+        except Exception:
+            _backend_ok = False
+    return _backend_ok

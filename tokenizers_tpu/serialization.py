@@ -667,3 +667,29 @@ def tokenizer_from_dict(d: Dict[str, Any]):
             tok.added_vocabulary.refresh_added_tokens(tok.model, tok.normalizer)
     _ = special, non_special
     return tok
+
+
+def trainer_from_json(payload: str):
+    """Build a trainer from a JSON config {"type": "BpeTrainer", ...kwargs}
+    — the C-ABI / Node-binding constructor surface (reference C binding
+    passes component configs as JSON payloads, `bindings/c/src/lib.rs`)."""
+    import json as _json
+
+    from . import trainers as T
+
+    d = _json.loads(payload)
+    kind = d.pop("type")
+    cls = {
+        "BpeTrainer": T.BpeTrainer,
+        "WordPieceTrainer": T.WordPieceTrainer,
+        "WordLevelTrainer": T.WordLevelTrainer,
+        "UnigramTrainer": T.UnigramTrainer,
+    }.get(kind)
+    if cls is None:
+        raise ValueError(f"unknown trainer type {kind!r}")
+    if "special_tokens" in d:
+        d["special_tokens"] = [
+            AddedToken(t, special=True) if isinstance(t, str) else AddedToken(**t)
+            for t in d["special_tokens"]
+        ]
+    return cls(**d)
