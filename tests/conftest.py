@@ -16,3 +16,29 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---- test tiers -----------------------------------------------------------
+# Device-program tests (big XLA:CPU compiles, minutes each cold) are marked
+# `device` by filename so `pytest -m "not device"` is the fast conformance
+# tier; see pyproject.toml [tool.pytest.ini_options] markers.
+_DEVICE_PREFIXES = (
+    "test_device_",
+    "test_dedup",
+    "test_parallel_encode",
+    "test_distributed_",
+    "test_merge_",
+    "test_route",
+    "test_runtime",
+    "test_unigram_trainer",
+    "test_c_api",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        name = item.fspath.basename
+        if any(name.startswith(p) for p in _DEVICE_PREFIXES):
+            item.add_marker(_pytest.mark.device)

@@ -255,12 +255,17 @@ def init_own(ids, mclr):
 def _round(ids, own_l, own_r, wid, seg, rows0, rows1, seed, k_steps=FILL_K):
     """One merge round: the Pallas-fused kernels on a real TPU backend,
     the lax formulation (the oracle) elsewhere.  Bit-identical paths —
-    fuzzed against each other in tests/test_merge_pallas.py."""
+    fuzzed against each other in tests/test_merge_pallas.py.
+
+    The Pallas path always uses the full fill depth: deeper fills are a
+    few extra VMEM shifts inside an already-fused kernel (shallow k only
+    pays off for the op-count-bound lax path), and one (shape, k) variant
+    per width keeps the Mosaic compile count down."""
     from .merge_pallas import merge_round_pallas, supported, use_pallas
 
     if use_pallas() and supported(ids.shape):
         return merge_round_pallas(
-            ids, own_l, own_r, wid, rows0, rows1, seed, k_steps=k_steps
+            ids, own_l, own_r, wid, rows0, rows1, seed, k_steps=FILL_K
         )
     return merge_round(
         ids, own_l, own_r, wid, seg, rows0, rows1, seed, k_steps=k_steps

@@ -280,11 +280,18 @@ _backend_ok = None
 
 def use_pallas() -> bool:
     """Pallas rounds only on the real TPU backend; the lax path stays the
-    oracle on CPU (tests) and anywhere Mosaic is unavailable."""
+    oracle on CPU (tests) and anywhere Mosaic is unavailable.
+    ``TOKENIZERS_TPU_PALLAS=0`` forces the lax path (escape hatch: Mosaic
+    compiler crashes have been observed to wedge the axon relay)."""
     global _backend_ok
     if _backend_ok is None:
-        try:
-            _backend_ok = jax.default_backend() not in ("cpu",)
-        except Exception:
+        import os
+
+        if os.environ.get("TOKENIZERS_TPU_PALLAS", "1") in ("0", "false"):
             _backend_ok = False
+        else:
+            try:
+                _backend_ok = jax.default_backend() not in ("cpu",)
+            except Exception:
+                _backend_ok = False
     return _backend_ok

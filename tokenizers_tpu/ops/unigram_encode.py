@@ -68,26 +68,10 @@ def nmt_metaspace_class_table():
     return _nmt_cache
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "with_offsets"))
-def unigram_program(
-    bytes_u8,
-    lengths,
-    cls_s1,
-    cls_s2,
-    vkey_a,
-    vkey_b,
-    vlen,
-    vid,
-    vscore,
-    vseed,
-    pow1,
-    pow2,
-    unk_id,
-    unk_score,
-    max_len,
-    with_offsets=False,
-):
-    """-> (ids int32[B, OUT], ntok int32[B], row_bad bool[B])."""
+def normalize_metaspace(bytes_u8, lengths, cls_s1, cls_s2, with_src):
+    """Stage 1 (Nmt + space collapse + Metaspace) shared by the dense and
+    packed programs: -> (nb, wbnd, ninb, total, row_bad, src_char|None)
+    over [B, L2] with L2 = 2L + 4."""
     B, L = bytes_u8.shape
     L2 = L * 2 + 4
     b = bytes_u8.astype(jnp.int32)
@@ -95,7 +79,6 @@ def unigram_program(
     inb = pos < lengths[:, None]
     b = jnp.where(inb, b, 0)
 
-    # ---- stage 1: Nmt + collapse + Metaspace -----------------------------
     cp, is_start, charlen = _decode_chars(b, inb)
     page = cls_s1[cp >> 8]
     cls = jnp.where(
@@ -152,7 +135,8 @@ def unigram_program(
     ninb = npos < total[:, None]
     nb = jnp.where(ninb, nb, 0)
 
-    if with_offsets:
+    src_char = None
+    if with_src:
         # source char per normalized byte (prepended ▁ backfills from the
         # first emitting char, matching NormalizedString.prepend alignment)
         in_char_idx = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
@@ -177,6 +161,36 @@ def unigram_program(
         )
         src_char = jnp.where(src_char >= 0, src_char, back)
         src_char = jnp.where(ninb, jnp.maximum(src_char, 0), 0)
+
+    return nb, wbnd, ninb, total, row_bad, src_char
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "with_offsets"))
+def unigram_program(
+    bytes_u8,
+    lengths,
+    cls_s1,
+    cls_s2,
+    vkey_a,
+    vkey_b,
+    vlen,
+    vid,
+    vscore,
+    vseed,
+    pow1,
+    pow2,
+    unk_id,
+    unk_score,
+    max_len,
+    with_offsets=False,
+):
+    """-> (ids int32[B, OUT], ntok int32[B], row_bad bool[B])."""
+    B, L = bytes_u8.shape
+    L2 = L * 2 + 4
+    nb, wbnd, ninb, total, row_bad, src_char = normalize_metaspace(
+        bytes_u8, lengths, cls_s1, cls_s2, with_offsets
+    )
+    npos = jax.lax.broadcasted_iota(jnp.int32, (B, L2), 1)
 
     # ---- stage 2: piece scores per (position, length) --------------------
     _, nstart, nclen = _decode_chars(nb, ninb)

@@ -132,8 +132,18 @@ class UnigramEngine(DeviceEngineBase):
         with jax.enable_x64():
             return self._program_offsets_x64(buf, lengths)
 
+    @staticmethod
+    def _prog():
+        """Word-packed Viterbi (scan depth = 512 packed columns instead of
+        one step per normalized byte) — the dense program remains the
+        oracle, selected on the CPU test backend."""
+        from .merge_pallas import use_pallas
+        from .unigram_packed import unigram_program_packed
+
+        return unigram_program_packed if use_pallas() else unigram_program
+
     def _program_offsets_x64(self, buf, lengths):
-        return unigram_program(
+        return self._prog()(
             buf,
             lengths,
             cls_s1=self.d_cls_s1,
@@ -176,7 +186,7 @@ class UnigramEngine(DeviceEngineBase):
             return self._program_x64(buf, lengths)
 
     def _program_x64(self, buf, lengths):
-        return unigram_program(
+        return self._prog()(
             buf,
             lengths,
             cls_s1=self.d_cls_s1,
