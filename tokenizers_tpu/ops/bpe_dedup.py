@@ -144,39 +144,52 @@ def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=None):
     h2 = word_hash_heads(b, bnd, inb, H2_MULT)
     fpos = pos + rowi * L
 
-    gwid = g_excl_cumsum(bnd.astype(jnp.int32))
     nw = jnp.sum(bnd.astype(jnp.int32))
 
-    tgt = jnp.where(bnd, jnp.minimum(gwid, nw_cap), nw_cap).reshape(BL)
-    rec = jnp.stack(
-        [fpos.reshape(BL), h1.reshape(BL), h2.reshape(BL), wlen.reshape(BL)],
-        axis=-1,
+    # word records packed in order by a wrap butterfly compaction (a flat
+    # scatter costs ~5.4ns/index on this backend; the butterfly ~8x less),
+    # then row-major reshaped into the [wr, wc] word table
+    from .route import compact_left
+
+    (c_fpos, c_h1, c_h2, c_wlen), _cnt = compact_left(
+        (fpos, h1, h2, wlen), bnd & inb, (0, -1, -1, 0), wrap=True
     )
-    wrows = jnp.zeros((nw_cap + 1, 4), jnp.int32).at[tgt].set(rec)[:nw_cap]
+
+    def to_wtab(x):
+        flat = x.reshape(-1)
+        if flat.shape[0] < nw_cap:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((nw_cap - flat.shape[0],), x.dtype)]
+            )
+        return flat[:nw_cap].reshape(wr, wc)
 
     widx2 = (
         jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 0) * wc
         + jax.lax.broadcasted_iota(jnp.int32, (wr, wc), 1)
     )
     wvalid = widx2 < nw
-    wpos_w = wrows[:, 0].reshape(wr, wc)
-    wh1 = jnp.where(wvalid, wrows[:, 1].reshape(wr, wc), -1)
-    wh2 = jnp.where(wvalid, wrows[:, 2].reshape(wr, wc), -1)
-    wlen_w = jnp.where(wvalid, wrows[:, 3].reshape(wr, wc), 0)
+    wpos_w = to_wtab(c_fpos)
+    wh1 = jnp.where(wvalid, to_wtab(c_h1), -1)
+    wh2 = jnp.where(wvalid, to_wtab(c_h2), -1)
+    wlen_w = jnp.where(wvalid, to_wtab(c_wlen), 0)
 
     S = 1 << max(14, int(nw_cap - 1).bit_length())
     slot = hash_jnp(wh1, wh2, seed ^ 0x5BD1, S - 1, 0)
     slot = jnp.where(wvalid, slot, S).reshape(-1)
     tbl = jnp.full((S + 1,), INF, jnp.int32).at[slot].min(widx2.reshape(-1))
     winner = tbl[slot].reshape(wr, wc)
-    wrow_win = wrows[jnp.clip(winner, 0, nw_cap - 1).reshape(-1)].reshape(
-        wr, wc, 4
+    # winner's (h1, h2) via one row-gather over the re-assembled records
+    wrows2 = jnp.stack(
+        [wh1.reshape(-1), wh2.reshape(-1)], axis=-1
+    )  # [nw_cap, 2]
+    wrow_win = wrows2[jnp.clip(winner, 0, nw_cap - 1).reshape(-1)].reshape(
+        wr, wc, 2
     )
     same = (
         wvalid
         & (winner < nw_cap)
-        & (wrow_win[..., 1] == wh1)
-        & (wrow_win[..., 2] == wh2)
+        & (wrow_win[..., 0] == wh1)
+        & (wrow_win[..., 1] == wh2)
     )
     rep = jnp.where(same, winner, widx2)
     is_rep = wvalid & (rep == widx2)
@@ -252,6 +265,7 @@ def dedup_finish(
     ww_rows1=None,
     ww_seed=0,
     cache_state=None,
+    encode_fn=None,
 ):
     """The fast branch: encode unique words, expand to per-row output.
 
@@ -260,6 +274,13 @@ def dedup_finish(
     words are appended to `cbuf` and registered in `crows` (direct-mapped,
     last-writer-wins; slot-collision losers simply stay uncached), and the
     output expansion reads every word's tokens from `cbuf`.
+
+    `encode_fn(b_u, uhead, inb_u, wid_u, wend_f, upos_f) -> (ids, wid2,
+    bad)`: the per-unique-word encoder over the [ru, uc] buffer (tokens
+    alive where ids >= 0, same wid layout).  Defaults to the byte-level
+    BPE merge; the WordPiece engine passes its longest-match encoder so
+    WordPiece shares the dedup/expansion/cache machinery
+    (`wordpiece_dedup.py`).
 
     Returns (ids[B, out_w], ntok[B], row_bad[B]) and, when caching,
     (crows', cbuf', p')."""
@@ -320,6 +341,14 @@ def dedup_finish(
     )
 
     # ---- encode it ----------------------------------------------------
+    if encode_fn is not None:
+        ids_u, wid_u2, bad_m = encode_fn(
+            b_u, uhead, inb_u, wid_u, wend_f, upos_f
+        )
+        return _finish_expand(
+            ids_u, wid_u2, bad_m, ops, geom, b.shape, out_w, cache_state
+        )
+
     from .bpe_encode import take256
 
     ids0 = jnp.where(inb_u, take256(b_u, byte2id), -1)
@@ -354,8 +383,37 @@ def dedup_finish(
     ids_u, wid_u2, bad_m, _ = run_merge_phases(
         ids0, wid_u, rows0, rows1, seed, mclr
     )
-    uw2c = ids_u.shape[1]
-    UF2 = ru * uw2c
+    return _finish_expand(
+        ids_u, wid_u2, bad_m, ops, geom, b.shape, out_w, cache_state
+    )
+
+
+def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
+                   cache_state):
+    """Expansion tail of `dedup_finish`: per-unique-word token counts,
+    token storage (batch-local or persistent cache), and the routed
+    per-input-row packed output — encoder-agnostic (shared by the BPE
+    merge and the WordPiece longest-match encoders)."""
+    nw_cap, wc, uc, uceff, ru = geom
+    wr = nw_cap // wc
+    (
+        rep,
+        in_buf,
+        uoff,
+        total_u,
+        wpos_w,
+        wlen_w,
+        wvalid,
+        nw,
+        hit,
+        ct0,
+        ccnt,
+        cslot,
+        wh1,
+        wh2,
+    ) = ops
+    B, L = b_shape
+    UF2 = ru * ids_u.shape[1]
 
     # ---- per-unique-word token counts and start offsets --------------
     alive = ids_u >= 0
@@ -373,19 +431,22 @@ def dedup_finish(
     is_last = alive & (~nfnd | (nxt_w != wid_u2))
     is_first = alive & seg
 
-    wclip = jnp.where(
-        (wid_u2 >= 0) & (wid_u2 < nw_cap), wid_u2, nw_cap
-    ).reshape(-1)
-    tcnt_u = (
-        jnp.zeros((nw_cap + 1,), jnp.int32)
-        .at[jnp.where(is_last.reshape(-1), wclip, nw_cap)]
-        .set(k_in.reshape(-1))[:nw_cap]
-    )
-    t0_u = (
-        jnp.zeros((nw_cap + 1,), jnp.int32)
-        .at[jnp.where(is_first.reshape(-1), wclip, nw_cap)]
-        .set(tpos.reshape(-1))[:nw_cap]
-    )
+    # per-word token counts/starts: words are dense (rank = buffer order),
+    # so a wrap butterfly compaction of the is_last/is_first values IS the
+    # word-indexed array — no scatter (PERF.md: butterfly ~8x a scatter)
+    from .route import compact_left as _cl
+
+    def per_word(vals_mask, vals):
+        (out,), _c = _cl((vals,), vals_mask, (0,), wrap=True)
+        flat = out.reshape(-1)
+        if flat.shape[0] < nw_cap:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((nw_cap - flat.shape[0],), flat.dtype)]
+            )
+        return flat[:nw_cap]
+
+    tcnt_u = per_word(is_last, k_in)
+    t0_u = per_word(is_first, tpos)
     # ---- token storage: batch-local buffer, or the persistent cache --
     ok_ins = ~jnp.any(bad_m)
     if cache_state is None:

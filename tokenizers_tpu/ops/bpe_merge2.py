@@ -349,9 +349,9 @@ def run_merge_phases(
     # on the TPU (fixed per-round cost dominates), but the throttled-CPU
     # test backend OOMs LLVM compiling them — semantics are identical
     # either way (the while_loop finishes whatever the fixed rounds left)
-    from .merge_pallas import use_pallas
+    from .merge_pallas import on_accelerator
 
-    if use_pallas():
+    if on_accelerator():
         for r in range(4):
             ids, own_l, own_r, f = _round(
                 ids, own_l, own_r, wid2, seg2, rows0, rows1, seed,

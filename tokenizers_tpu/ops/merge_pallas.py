@@ -278,11 +278,74 @@ def merge_round_pallas(
 _backend_ok = None
 
 
+def _probe_marker():
+    import os
+
+    d = os.path.join(os.path.expanduser("~"), ".cache", "tokenizers_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "pallas_ok")
+
+
+def _probe() -> bool:
+    """Compile + run the real merge round at a tiny shape once per machine
+    (cached in a marker file).  A Mosaic failure here downgrades every
+    engine to the lax path instead of taking the whole program down."""
+    import os
+
+    marker = _probe_marker()
+    if os.path.exists(marker):
+        return open(marker).read().strip() == "1"
+    ok = False
+    try:
+        ids = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, 256), 1) % 3 == 0,
+            -1,
+            65,
+        )
+        z = jnp.zeros((8, 256), jnp.int32)
+        wid = jnp.cumsum(
+            (jax.lax.broadcasted_iota(jnp.int32, (8, 256), 1) % 5 == 0)
+            .astype(jnp.int32),
+            axis=1,
+        )
+        rows = jnp.zeros((1 << 10, 8), jnp.int32)
+        out = merge_round_pallas(
+            ids, z, z, wid, rows, rows, jnp.int32(1), k_steps=4
+        )
+        jax.block_until_ready(out[0])
+        ok = True
+    except Exception:
+        ok = False
+    try:
+        with open(marker, "w") as f:
+            f.write("1" if ok else "0")
+    except OSError:
+        pass
+    return ok
+
+
+_accel = None
+
+
+def on_accelerator() -> bool:
+    """True off the CPU test backend — gates the pure-XLA program variants
+    that trade compile size/structure for device throughput (width-
+    scheduled merge phases, packed Unigram, dedup'd WordPiece)."""
+    global _accel
+    if _accel is None:
+        try:
+            _accel = jax.default_backend() not in ("cpu",)
+        except Exception:
+            _accel = False
+    return _accel
+
+
 def use_pallas() -> bool:
     """Pallas rounds only on the real TPU backend; the lax path stays the
     oracle on CPU (tests) and anywhere Mosaic is unavailable.
-    ``TOKENIZERS_TPU_PALLAS=0`` forces the lax path (escape hatch: Mosaic
-    compiler crashes have been observed to wedge the axon relay)."""
+    ``TOKENIZERS_TPU_PALLAS=0`` forces the lax path; otherwise a one-time
+    probe compile decides (cached in ~/.cache/tokenizers_tpu/pallas_ok —
+    delete it to re-probe)."""
     global _backend_ok
     if _backend_ok is None:
         import os
@@ -291,7 +354,7 @@ def use_pallas() -> bool:
             _backend_ok = False
         else:
             try:
-                _backend_ok = jax.default_backend() not in ("cpu",)
+                _backend_ok = on_accelerator() and _probe()
             except Exception:
                 _backend_ok = False
     return _backend_ok

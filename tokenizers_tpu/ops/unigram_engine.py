@@ -137,10 +137,10 @@ class UnigramEngine(DeviceEngineBase):
         """Word-packed Viterbi (scan depth = 512 packed columns instead of
         one step per normalized byte) — the dense program remains the
         oracle, selected on the CPU test backend."""
-        from .merge_pallas import use_pallas
+        from .merge_pallas import on_accelerator
         from .unigram_packed import unigram_program_packed
 
-        return unigram_program_packed if use_pallas() else unigram_program
+        return unigram_program_packed if on_accelerator() else unigram_program
 
     def _program_offsets_x64(self, buf, lengths):
         return self._prog()(

@@ -168,4 +168,26 @@ class WordPieceEngine(DeviceEngineBase):
         return self._run(buf, lengths, True)
 
     def _program(self, buf, lengths):
+        # ASCII chunks ride the batch word-dedup machinery off-CPU: the
+        # candidate sweep + greedy chain run over unique words only
+        # (~15-25% of the text).  The dense program stays the oracle.
+        from .merge_pallas import on_accelerator
+
+        if self.ascii_ok and self._is_ascii(buf) and on_accelerator():
+            from .wordpiece_dedup import wordpiece_dedup_program
+
+            return wordpiece_dedup_program(
+                buf,
+                lengths,
+                self.d_ascii_nb,
+                self.d_ascii_cls,
+                self.d_vrows0,
+                self.d_vrows1,
+                self.vseed,
+                self.d_pow1,
+                self.d_pow2,
+                self.unk_id,
+                max_len=self.max_len,
+                max_word_chars=self.max_word_chars,
+            )
         return self._run(buf, lengths, False)
