@@ -124,7 +124,7 @@ def _time_reps(run, reps=5):
     return best
 
 
-def bench_bpe_scan(name, word_cache):
+def bench_bpe_scan(name, word_cache, _retry=True):
     """gpt2/llama3 byte-level BPE via the chunk-scan program."""
     import jax
     import jax.numpy as jnp
@@ -132,6 +132,27 @@ def bench_bpe_scan(name, word_cache):
 
     from tokenizers_tpu.ops.bpe_encode import encode_program_scan
     from tokenizers_tpu.tokenizer import Tokenizer
+
+    if _retry:
+        try:
+            return bench_bpe_scan(name, word_cache, _retry=False)
+        except Exception as e:  # pragma: no cover - bench resilience
+            # Mosaic failure at real shapes: downgrade to the lax rounds
+            # (bit-identical, slower) and mark the probe cache so future
+            # processes skip the broken path too.
+            from tokenizers_tpu.ops import merge_pallas
+
+            if not merge_pallas.use_pallas():
+                raise
+            print(f"# pallas path failed ({type(e).__name__}); retrying lax",
+                  file=sys.stderr, flush=True)
+            merge_pallas._backend_ok = False
+            try:
+                with open(merge_pallas._probe_marker(), "w") as f:
+                    f.write("0")
+            except OSError:
+                pass
+            return bench_bpe_scan(name, word_cache, _retry=False)
 
     tok = Tokenizer.from_file(FIXTURES[name])
     eng = tok._get_device_engine()

@@ -31,6 +31,8 @@ _DEVICE_PREFIXES = (
     "test_route",
     "test_runtime",
     "test_unigram_trainer",
+    "test_unigram_packed",
+    "test_wordpiece_dedup",
     "test_c_api",
 )
 
