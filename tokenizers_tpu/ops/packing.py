@@ -13,7 +13,15 @@ import numpy as np
 
 MIN_L = 64
 MAX_L = 1 << 17  # strings longer than this fall back to the host path
-POSITION_BUDGET = 1 << 21  # ~2M byte positions per device call
+POSITION_BUDGET = 1 << 21  # ~2M byte positions per device call (CPU tests)
+ACCEL_POSITION_BUDGET = 1 << 23  # 8M on the TPU: fixed per-op cost is the
+# dominant term there (PERF.md), so bigger chunks amortize it 4x
+
+
+def _position_budget() -> int:
+    from .merge_pallas import on_accelerator
+
+    return ACCEL_POSITION_BUDGET if on_accelerator() else POSITION_BUDGET
 
 
 def bucket_length(n: int) -> int:
@@ -48,8 +56,9 @@ def pack_batch(
         buckets.setdefault((L, longword), []).append(i)
 
     out = []
+    budget = _position_budget()
     for (L, _lw), idxs in sorted(buckets.items()):
-        rows_per_chunk = max(1, POSITION_BUDGET // L)
+        rows_per_chunk = max(1, budget // L)
         for c in range(0, len(idxs), rows_per_chunk):
             chunk = idxs[c : c + rows_per_chunk]
             B = _pow2_rows(len(chunk))
