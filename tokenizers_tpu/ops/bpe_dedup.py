@@ -542,9 +542,20 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
     opos = jax.lax.broadcasted_iota(jnp.int32, (B, out_w), 1)
     osrc = jnp.clip(od + opos, 0, src_cap - 1)
     in_out = odset & (opos < ntok[:, None])
-    ids_out = jnp.where(
-        in_out, tok_src[osrc.reshape(-1)].reshape(B, out_w), -1
+    # token fetch as a width-4 ROW gather + 2-bit select: row gathers cost
+    # per row (~3.2ns) regardless of width, flat gathers ~8ns/index
+    nr4 = tok_src.shape[0] // 4
+    rows4 = tok_src[: nr4 * 4].reshape(nr4, 4)
+    r4 = rows4[jnp.clip(osrc >> 2, 0, nr4 - 1)]
+    sel = osrc & 3
+    fetched = jnp.where(
+        sel == 0,
+        r4[..., 0],
+        jnp.where(
+            sel == 1, r4[..., 1], jnp.where(sel == 2, r4[..., 2], r4[..., 3])
+        ),
     )
+    ids_out = jnp.where(in_out, fetched, -1)
 
     row_over = ntok > out_w
     bad_all = jnp.any(bad_m) | jnp.any((ooff + k_w > out_w) & wvalid)

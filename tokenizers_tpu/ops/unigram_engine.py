@@ -61,6 +61,12 @@ class UnigramEngine(DeviceEngineBase):
         m = tokenizer.model
         if not isinstance(m, Unigram):
             return None
+        # byte_fallback expands unk pieces into <0xXX> tokens of the
+        # NORMALIZED piece string (incl. metaspace bytes, reference
+        # `unigram/model.rs:429`); reconstructing that span exactly on the
+        # output side is deferred — such models take the (conformant) host
+        # path.  fuse_unk is always true for deserialized models
+        # (`unigram/model.rs:125`).
         if m.byte_fallback or m.unk_id is None or not m.fuse_unk:
             return None
         nz = tokenizer.normalizer
