@@ -312,6 +312,19 @@ class BPE(Model):
         merges_path = os.path.join(folder, merges_name)
         with open(vocab_path, "w", encoding="utf-8") as f:
             ordered = {self.vocab_r[i]: i for i in sorted(self.vocab_r)}
+            holes = [
+                i for i in range(len(self.vocab_r)) if i not in self.vocab_r
+            ]
+            if holes:
+                # reference models/mod.rs:54 warns on vocab holes at save
+                from ..utils.log import get_logger
+
+                get_logger("models").warning(
+                    "The OrderedVocab you are attempting to save contains "
+                    "holes for indices %s, your vocabulary could be "
+                    "corrupted !",
+                    holes[:16],
+                )
             json.dump(ordered, f, ensure_ascii=False)
         ranked = sorted(
             ((rank, pair) for pair, (rank, _) in self.merges.items()),

@@ -145,10 +145,12 @@ class Tokenizer:
     def from_pretrained(
         cls, identifier: str, revision: str = "main", token: Optional[str] = None
     ) -> "Tokenizer":
-        """Load a `tokenizer.json` from a local path or the HF hub cache.
-
-        (reference `utils/from_pretrained.rs`; this build resolves local
-        paths/caches only — no network access is attempted here)."""
+        """Load a `tokenizer.json` from a local path, the HF hub cache, or
+        by downloading it from the hub (reference
+        `utils/from_pretrained.rs:26-68`).  Resolution order: literal
+        path, directory containing tokenizer.json, hub cache snapshot,
+        then a network fetch (cached for subsequent loads; controlled by
+        `HF_HUB_OFFLINE=1`)."""
         candidates = [
             identifier,
             os.path.join(identifier, "tokenizer.json"),
@@ -173,10 +175,42 @@ class Tokenizer:
         for cand in candidates:
             if os.path.isfile(cand):
                 return cls.from_file(cand)
-        raise FileNotFoundError(
-            f"Could not find a local tokenizer.json for {identifier!r} "
-            "(network downloads are not available)"
+
+        if os.environ.get("HF_HUB_OFFLINE") not in (None, "", "0"):
+            raise FileNotFoundError(
+                f"Could not find a local tokenizer.json for {identifier!r} "
+                "and HF_HUB_OFFLINE is set"
+            )
+        # hub download (the reference delegates to hf-hub's blocking API;
+        # here a direct resolve fetch, stored in the same cache layout)
+        import urllib.error
+        import urllib.request
+
+        url = (
+            "https://huggingface.co/"
+            f"{identifier}/resolve/{revision}/tokenizer.json"
         )
+        req = urllib.request.Request(
+            url,
+            headers={
+                "User-Agent": "tokenizers-tpu/0.1.0",
+                **({"Authorization": f"Bearer {token}"} if token else {}),
+            },
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                data = r.read()
+        except (urllib.error.URLError, OSError) as e:
+            raise FileNotFoundError(
+                f"Could not find a local tokenizer.json for {identifier!r} "
+                f"and the hub download failed: {e}"
+            ) from e
+        snap_dir = os.path.join(model_dir, "snapshots", revision)
+        os.makedirs(snap_dir, exist_ok=True)
+        path = os.path.join(snap_dir, "tokenizer.json")
+        with open(path, "wb") as f:
+            f.write(data)
+        return cls.from_file(path)
 
     # Pickling via the serialized JSON, like the reference binding
     # (`bindings/python/src/tokenizer.rs:598-621`).  Device engines and
