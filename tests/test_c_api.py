@@ -47,7 +47,7 @@ def run_driver(driver, *args):
         capture_output=True,
         text=True,
         env=env,
-        timeout=600,
+        timeout=1800,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     return dict(
@@ -112,7 +112,7 @@ def test_c_train(driver, tmp_path):
         capture_output=True,
         text=True,
         env=env,
-        timeout=600,
+        timeout=1800,
     )
     assert r.returncode == 0, r.stderr
     assert "trained_encode_len:" in r.stdout

@@ -45,6 +45,18 @@ bool ensure_python() {
   }
   PyGILState_STATE gil = PyGILState_Ensure();
   if (g_module == nullptr) {
+    // honor JAX_PLATFORMS even when a sitecustomize pinned another
+    // backend at interpreter start (the dev image pins the axon TPU;
+    // external C callers routinely want JAX_PLATFORMS=cpu)
+    PyRun_SimpleString(
+        "import os\n"
+        "_p = os.environ.get('JAX_PLATFORMS')\n"
+        "if _p:\n"
+        "    try:\n"
+        "        import jax\n"
+        "        jax.config.update('jax_platforms', _p)\n"
+        "    except Exception:\n"
+        "        pass\n");
     g_module = PyImport_ImportModule("tokenizers_tpu");
     if (g_module == nullptr) {
       PyErr_Print();

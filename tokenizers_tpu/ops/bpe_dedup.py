@@ -525,20 +525,35 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
         .max((ooff + k_w).reshape(-1))[:B]
     )
 
-    otgt = jnp.where(
-        wvalid & (k_w > 0) & (ooff < out_w), roww * out_w + ooff, B * out_w
-    ).reshape(-1)
-    ohead_rec = jnp.stack(
-        [(t0_w - ooff).reshape(-1), jnp.ones(nw_cap, jnp.int32)], axis=-1
-    )
-    ohead = (
-        jnp.full((B * out_w + 1, 2), -1, jnp.int32)
-        .at[otgt]
-        .set(ohead_rec)[: B * out_w]
-    )
-    (od,), odset = _fill_last(
-        [ohead[:, 0].reshape(B, out_w)], (ohead[:, 1] == 1).reshape(B, out_w)
-    )
+    # word-head records spread to their output positions by a wrap
+    # butterfly route (targets are monotone in word-table order); requires
+    # B*out_w to be a multiple of the word-table column count, which holds
+    # by construction (out_w = L//2 >= wc)
+    olive = wvalid & (k_w > 0) & (ooff < out_w)
+    otgt = jnp.where(olive, roww * out_w + ooff, 0)
+    if (B * out_w) % wc == 0:
+        from .route import route_to
+
+        (od_r,), live_o = route_to(
+            ((t0_w - ooff),), olive, otgt, (0,), wrap=True,
+            n_out=B * out_w,
+        )
+        od0 = od_r.reshape(B, out_w)
+        oset = live_o.reshape(B, out_w)
+    else:  # fallback: flat scatter (odd geometries only)
+        otgt_f = jnp.where(olive, otgt, B * out_w).reshape(-1)
+        ohead_rec = jnp.stack(
+            [(t0_w - ooff).reshape(-1), jnp.ones(nw_cap, jnp.int32)],
+            axis=-1,
+        )
+        ohead = (
+            jnp.full((B * out_w + 1, 2), -1, jnp.int32)
+            .at[otgt_f]
+            .set(ohead_rec)[: B * out_w]
+        )
+        od0 = ohead[:, 0].reshape(B, out_w)
+        oset = (ohead[:, 1] == 1).reshape(B, out_w)
+    (od,), odset = _fill_last([od0], oset)
     opos = jax.lax.broadcasted_iota(jnp.int32, (B, out_w), 1)
     osrc = jnp.clip(od + opos, 0, src_cap - 1)
     in_out = odset & (opos < ntok[:, None])
