@@ -14,8 +14,12 @@ import numpy as np
 MIN_L = 64
 MAX_L = 1 << 17  # strings longer than this fall back to the host path
 POSITION_BUDGET = 1 << 21  # ~2M byte positions per device call (CPU tests)
-ACCEL_POSITION_BUDGET = 1 << 23  # 8M on the TPU: fixed per-op cost is the
-# dominant term there (PERF.md), so bigger chunks amortize it 4x
+ACCEL_POSITION_BUDGET = 1 << 21  # on the TPU the fixed per-round cost says
+# "bigger is better" (PERF.md), but XLA compile time on this backend scales
+# ~linearly with the chunk shape (110s at 1M positions, >550s at 8M), so 2M
+# is the largest chunk whose one-time compile stays affordable; the
+# persistent compilation cache (enabled in tokenizers_tpu/__init__.py)
+# makes subsequent processes pay none of it
 
 
 def _position_budget() -> int:
@@ -53,11 +57,15 @@ def pack_batch(
         # long-word doc from holding a whole chunk's while-loop hostage.
         # (space-free run length upper-bounds pre-split word length.)
         longword = max((len(p) for p in s.split(b" ")), default=0) > 40
-        buckets.setdefault((L, longword), []).append(i)
+        # tertiary key: pure-ASCII docs grouped apart from the rest, so a
+        # handful of non-ASCII docs can't disqualify whole chunks from the
+        # ASCII fast paths (expand=1 BPE grids, dedup'd WordPiece)
+        is_ascii = s.isascii()
+        buckets.setdefault((L, longword, is_ascii), []).append(i)
 
     out = []
     budget = _position_budget()
-    for (L, _lw), idxs in sorted(buckets.items()):
+    for (L, _lw, _ascii), idxs in sorted(buckets.items()):
         rows_per_chunk = max(1, budget // L)
         for c in range(0, len(idxs), rows_per_chunk):
             chunk = idxs[c : c + rows_per_chunk]
