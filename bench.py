@@ -3,8 +3,20 @@
 
 Prints one JSON line per config:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
-The FLAGSHIP line (gpt2 byte-level BPE batch encode, the BASELINE.json
-headline metric) is printed LAST so tail-parsers pick it up.
+
+Ordering and survivability (round-2 lesson: the driver killed the run before
+the flagship printed):
+  * the FLAGSHIP line (gpt2 byte-level BPE cold batch encode, the
+    BASELINE.json headline metric) runs and prints FIRST;
+  * every config runs in its own subprocess with a hard deadline, so one
+    slow compile or a wedged relay cannot eat the whole budget — a config
+    that misses its deadline prints an error line and the run moves on;
+  * reference-wheel comparisons are NOT measured inside the timed run: they
+    are constants measured once on this host (`REF_BASELINE.json`,
+    tools/measure_ref.py) with the README's stated 50 MB/s floor
+    (`/root/reference/README.md:22-23`) as fallback.
+
+Total budget: TOKENIZERS_TPU_BENCH_BUDGET seconds (default 1500).
 
 Timing methodology
 ------------------
@@ -18,17 +30,16 @@ chunk dedup only — same work the reference does with its own cache off);
 the `_cached` line reports the warm serving path (persistent cache carry,
 analogous to the reference's always-on 10k-entry word cache).
 
-vs_baseline: against the stronger of (a) the reference README's stated
-1GB-in-<20s => 50 MB/s on a server CPU (`/root/reference/README.md:22-23`)
-and (b) the installed reference wheel measured on this host (the host CPU
-here is heavily throttled; the wheel manages ~6 MB/s).
+XLA compiles are cached persistently (~/.cache/tokenizers_tpu/jax_cache);
+`python bench.py --warm` pre-compiles every config without timing.
 
-Stage breakdown for the perf writeup: run `python bench.py --breakdown`
+Stage breakdown for the perf writeup: `python bench.py --breakdown`
 (see PERF.md).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -48,6 +59,15 @@ FIXTURES = {
 DOC_BYTES = 8 * 1024
 TARGET_BATCH_BYTES = 1 << 25  # ~32 MB of text per timed batch
 REF_STATED = 50e6  # README: 1 GB in "less than 20 seconds" on a server CPU
+
+
+def ref_baseline(key, default):
+    """Cached reference-wheel measurement (see module docstring)."""
+    try:
+        with open(os.path.join(REPO, "REF_BASELINE.json")) as f:
+            return float(json.load(f)[key])
+    except Exception:
+        return default
 
 
 def emit(metric, value, unit, vs):
@@ -108,7 +128,7 @@ def _stage_chunks(eng, docs):
     return staged, nbytes
 
 
-def _time_reps(run, reps=5):
+def _time_reps(run, reps=5, budget=45.0):
     t0 = time.perf_counter()
     run()  # warmup / compile
     warm = time.perf_counter() - t0
@@ -116,7 +136,7 @@ def _time_reps(run, reps=5):
     run()  # first timed rep also calibrates how many reps we can afford
     first = time.perf_counter() - t0
     best = first
-    reps = max(0, min(reps - 1, int(45.0 / max(first, 1e-3)) - 1))
+    reps = max(0, min(reps - 1, int(budget / max(first, 1e-3)) - 1))
     for _ in range(reps):
         t0 = time.perf_counter()
         run()
@@ -124,18 +144,19 @@ def _time_reps(run, reps=5):
     return best
 
 
-def bench_bpe_scan(name, word_cache, _retry=True):
+def bench_bpe_scan(name, word_cache, _retry=True, time_budget=45.0):
     """gpt2/llama3 byte-level BPE via the chunk-scan program."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from tokenizers_tpu.ops.bpe_encode import encode_program_scan
     from tokenizers_tpu.tokenizer import Tokenizer
 
     if _retry:
         try:
-            return bench_bpe_scan(name, word_cache, _retry=False)
+            return bench_bpe_scan(
+                name, word_cache, _retry=False, time_budget=time_budget
+            )
         except Exception as e:  # pragma: no cover - bench resilience
             # Mosaic failure at real shapes: downgrade to the lax rounds
             # (bit-identical, slower) and mark the probe cache so future
@@ -152,7 +173,9 @@ def bench_bpe_scan(name, word_cache, _retry=True):
                     f.write("0")
             except OSError:
                 pass
-            return bench_bpe_scan(name, word_cache, _retry=False)
+            return bench_bpe_scan(
+                name, word_cache, _retry=False, time_budget=time_budget
+            )
 
     tok = Tokenizer.from_file(FIXTURES[name])
     eng = tok._get_device_engine()
@@ -198,11 +221,11 @@ def bench_bpe_scan(name, word_cache, _retry=True):
             acc = reduce_out(acc, ntok)
         return int(acc)
 
-    best = _time_reps(run)
+    best = _time_reps(run, budget=time_budget)
     return nbytes / best, nbytes
 
 
-def bench_dispatch(name, target=TARGET_BATCH_BYTES):
+def bench_dispatch(name, target=TARGET_BATCH_BYTES, time_budget=45.0):
     """WordPiece / Unigram engines: per-chunk program dispatch loop."""
     import jax
     import jax.numpy as jnp
@@ -227,29 +250,13 @@ def bench_dispatch(name, target=TARGET_BATCH_BYTES):
             acc = reduce_out(acc, ntok)
         return int(acc)
 
-    best = _time_reps(run)
+    best = _time_reps(run, budget=time_budget)
     return nbytes / best, nbytes
 
 
-def bench_reference_encode(name, docs):
-    """Reference wheel end-to-end on a sample of the same docs."""
-    try:
-        from tokenizers import Tokenizer as RefTok
-    except ImportError:
-        return REF_STATED
-    ref = RefTok.from_file(FIXTURES[name])
-    sample = docs[: max(1, len(docs) // 16)]
-    sbytes = sum(len(d.encode("utf-8")) for d in sample)
-    ref.encode_batch_fast(sample)
-    t0 = time.perf_counter()
-    ref.encode_batch_fast(sample)
-    measured = sbytes / (time.perf_counter() - t0)
-    return max(REF_STATED, measured)
-
-
 def bench_train():
-    """BPE train from scratch: device trainer vs reference wheel wall-clock
-    on the same 1MB corpus slice / vocab target."""
+    """BPE train from scratch on the same 1MB corpus slice / vocab target
+    the reference-wheel constant was measured with."""
     corpus = open(CORPUS, encoding="utf-8").read()[: 1 << 20]
     lines = corpus.splitlines()
     vocab_size = 512
@@ -269,113 +276,128 @@ def bench_train():
     t0 = time.perf_counter()
     trainer.feed(iter(lines), process)
     trainer.train(tok.model)
-    ours = time.perf_counter() - t0
-
-    try:
-        import tokenizers as hf
-
-        rtok = hf.Tokenizer(hf.models.BPE())
-        rtok.pre_tokenizer = hf.pre_tokenizers.Whitespace()
-        rtrainer = hf.trainers.BpeTrainer(
-            vocab_size=vocab_size, show_progress=False
-        )
-        t0 = time.perf_counter()
-        rtok.train_from_iterator(lines, rtrainer)
-        theirs = time.perf_counter() - t0
-    except Exception:
-        theirs = float("nan")
-
-    return ours, theirs
+    return time.perf_counter() - t0
 
 
-def main():
-    breakdown = "--breakdown" in sys.argv
-    if breakdown:
-        from tools.profile_stages import main as profile_main
+# --------------------------------------------------------------------------
+# config registry: child-process entry points
+# --------------------------------------------------------------------------
 
-        profile_main()
-        return
 
-    results = {}
-
-    # config: bert WordPiece (smaller timed batch: the dispatch-loop engines
-    # are currently orders slower than the BPE scan path; see PERF.md)
-    try:
-        bps, _ = bench_dispatch("bert", target=1 << 22)
-        refbps = bench_reference_encode("bert", build_docs())
-        emit(
-            "bert_wordpiece_batch_encode_bytes_per_sec_per_chip",
-            round(bps / 1e6, 1),
-            "MB/s",
-            round(bps / refbps, 2),
-        )
-    except Exception as e:  # pragma: no cover - bench resilience
-        emit("bert_wordpiece_batch_encode_bytes_per_sec_per_chip", 0.0, f"error: {type(e).__name__}: {e}"[:120], 0.0)
-
-    # config: unigram Viterbi (xlnet-style Metaspace)
-    try:
-        bps, _ = bench_dispatch("unigram", target=1 << 22)
-        refbps = bench_reference_encode("unigram", build_docs())
-        emit(
-            "unigram_batch_encode_bytes_per_sec_per_chip",
-            round(bps / 1e6, 1),
-            "MB/s",
-            round(bps / refbps, 2),
-        )
-    except Exception as e:
-        emit("unigram_batch_encode_bytes_per_sec_per_chip", 0.0, f"error: {type(e).__name__}: {e}"[:120], 0.0)
-
-    # config: llama-3 split pattern BPE
-    try:
-        bps, _ = bench_bpe_scan("llama3", word_cache=False)
-        refbps = bench_reference_encode("llama3", build_docs())
-        emit(
-            "llama3_bpe_batch_encode_bytes_per_sec_per_chip",
-            round(bps / 1e6, 1),
-            "MB/s",
-            round(bps / refbps, 2),
-        )
-    except Exception as e:
-        emit("llama3_bpe_batch_encode_bytes_per_sec_per_chip", 0.0, f"error: {type(e).__name__}: {e}"[:120], 0.0)
-
-    # config: BPE train wall-clock
-    try:
-        ours, theirs = bench_train()
-        emit(
-            "bpe_train_1mb_vocab512_wallclock",
-            round(ours, 1),
-            "s",
-            round(theirs / ours, 2) if theirs == theirs else 0.0,
-        )
-    except Exception as e:
-        emit("bpe_train_1mb_vocab512_wallclock", 0.0, f"error: {type(e).__name__}: {e}"[:120], 0.0)
-
-    # flagship: gpt2 byte-level BPE (cold + warm-cache serving)
-    ref_gpt2 = None
-    try:
-        bps_warm, _ = bench_bpe_scan("gpt2", word_cache=True)
-        ref_gpt2 = bench_reference_encode("gpt2", build_docs())
-        emit(
-            "gpt2_bpe_batch_encode_cached_bytes_per_sec_per_chip",
-            round(bps_warm / 1e6, 1),
-            "MB/s",
-            round(bps_warm / ref_gpt2, 2),
-        )
-    except Exception as e:
-        emit("gpt2_bpe_batch_encode_cached_bytes_per_sec_per_chip", 0.0, f"error: {type(e).__name__}: {e}"[:120], 0.0)
-
-    try:
-        bps, _ = bench_bpe_scan("gpt2", word_cache=False)
-        if ref_gpt2 is None:
-            ref_gpt2 = bench_reference_encode("gpt2", build_docs())
+def run_config(cfg, time_budget):
+    if cfg == "gpt2_cold":
+        bps, _ = bench_bpe_scan("gpt2", word_cache=False,
+                                time_budget=time_budget)
+        ref = ref_baseline("gpt2_encode_bps", REF_STATED)
         emit(
             "gpt2_bpe_batch_encode_bytes_per_sec_per_chip",
             round(bps / 1e6, 1),
             "MB/s",
-            round(bps / ref_gpt2, 2),
+            round(bps / max(ref, REF_STATED), 2),
         )
-    except Exception as e:
-        emit("gpt2_bpe_batch_encode_bytes_per_sec_per_chip", 0.0, f"error: {type(e).__name__}: {e}"[:120], 0.0)
+    elif cfg == "gpt2_cached":
+        bps, _ = bench_bpe_scan("gpt2", word_cache=True,
+                                time_budget=time_budget)
+        ref = ref_baseline("gpt2_encode_bps", REF_STATED)
+        emit(
+            "gpt2_bpe_batch_encode_cached_bytes_per_sec_per_chip",
+            round(bps / 1e6, 1),
+            "MB/s",
+            round(bps / max(ref, REF_STATED), 2),
+        )
+    elif cfg == "llama3":
+        bps, _ = bench_bpe_scan("llama3", word_cache=False,
+                                time_budget=time_budget)
+        ref = ref_baseline("llama3_encode_bps", REF_STATED)
+        emit(
+            "llama3_bpe_batch_encode_bytes_per_sec_per_chip",
+            round(bps / 1e6, 1),
+            "MB/s",
+            round(bps / max(ref, REF_STATED), 2),
+        )
+    elif cfg == "bert":
+        bps, _ = bench_dispatch("bert", time_budget=time_budget)
+        ref = ref_baseline("bert_encode_bps", REF_STATED)
+        emit(
+            "bert_wordpiece_batch_encode_bytes_per_sec_per_chip",
+            round(bps / 1e6, 1),
+            "MB/s",
+            round(bps / max(ref, REF_STATED), 2),
+        )
+    elif cfg == "unigram":
+        bps, _ = bench_dispatch("unigram", time_budget=time_budget)
+        ref = ref_baseline("unigram_encode_bps", REF_STATED)
+        emit(
+            "unigram_batch_encode_bytes_per_sec_per_chip",
+            round(bps / 1e6, 1),
+            "MB/s",
+            round(bps / max(ref, REF_STATED), 2),
+        )
+    elif cfg == "train":
+        ours = bench_train()
+        theirs = ref_baseline("bpe_train_1mb_vocab512_s", float("nan"))
+        emit(
+            "bpe_train_1mb_vocab512_wallclock",
+            round(ours, 2),
+            "s",
+            round(theirs / ours, 2) if theirs == theirs else 0.0,
+        )
+    else:
+        raise SystemExit(f"unknown config {cfg}")
+
+
+# (metric name for the error line, subprocess deadline seconds,
+#  within-process timing budget seconds)
+CONFIGS = [
+    ("gpt2_cold", "gpt2_bpe_batch_encode_bytes_per_sec_per_chip", 600, 60),
+    ("gpt2_cached", "gpt2_bpe_batch_encode_cached_bytes_per_sec_per_chip",
+     240, 40),
+    ("llama3", "llama3_bpe_batch_encode_bytes_per_sec_per_chip", 300, 40),
+    ("bert", "bert_wordpiece_batch_encode_bytes_per_sec_per_chip", 240, 40),
+    ("unigram", "unigram_batch_encode_bytes_per_sec_per_chip", 240, 40),
+    ("train", "bpe_train_1mb_vocab512_wallclock", 300, 0),
+]
+
+
+def main():
+    if "--breakdown" in sys.argv:
+        from tools.profile_stages import main as profile_main
+
+        profile_main()
+        return
+    if "--config" in sys.argv:
+        i = sys.argv.index("--config")
+        budget = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 45.0
+        run_config(sys.argv[i + 1], budget)
+        return
+
+    budget = float(os.environ.get("TOKENIZERS_TPU_BENCH_BUDGET", "1500"))
+    t_start = time.monotonic()
+    for cfg, metric, cap, tb in CONFIGS:
+        remaining = budget - (time.monotonic() - t_start) - 20
+        deadline = min(cap, remaining)
+        if deadline < 45:
+            emit(metric, 0.0, "skipped: bench budget exhausted", 0.0)
+            continue
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--config", cfg, str(tb)],
+                timeout=deadline,
+                capture_output=True,
+                text=True,
+            )
+            printed = False
+            for line in p.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    printed = True
+            if not printed:
+                err = (p.stderr or "").strip().splitlines()
+                tail = err[-1][:110] if err else f"rc={p.returncode}"
+                emit(metric, 0.0, f"error: {tail}", 0.0)
+        except subprocess.TimeoutExpired:
+            emit(metric, 0.0, f"error: config deadline {deadline:.0f}s", 0.0)
 
 
 if __name__ == "__main__":

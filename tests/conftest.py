@@ -25,6 +25,7 @@ jax.config.update("jax_platforms", "cpu")
 _DEVICE_PREFIXES = (
     "test_device_",
     "test_dedup",
+    "test_dense_trainer",
     "test_parallel_encode",
     "test_distributed_",
     "test_merge_",

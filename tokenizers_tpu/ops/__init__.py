@@ -9,6 +9,14 @@ import os
 
 
 def _enable_compilation_cache():
+    """Single source of truth for the persistent-compile-cache policy.
+
+    Opt out with TOKENIZERS_TPU_COMPCACHE=0/false/no/off, or by pre-setting
+    jax_compilation_cache_dir yourself."""
+    if os.environ.get("TOKENIZERS_TPU_COMPCACHE", "1").strip().lower() in (
+        "0", "false", "no", "off",
+    ):
+        return
     try:
         import jax
 

@@ -93,6 +93,29 @@ class DistributedBpeTrainer:
         cfg._compute_alphabet(word_counts, word_to_id, id_to_word)
         words, counts = cfg._tokenize_words(word_counts, word_to_id, id_to_word)
 
+        # ---- device-resident whole-loop path (one dispatch, all merges) --
+        from ..ops.bpe_train_dense import train_dense, verify_merges
+        from ..utils.log import get_logger
+
+        try:
+            dm, ok = train_dense(
+                word_counts, cfg, word_to_id, id_to_word, words, counts, mesh
+            )
+        except Exception as e:  # pragma: no cover - device fallback
+            get_logger("trainer").warning("dense trainer failed (%s); per-round path", e)
+            dm, ok = None, False
+        if ok:
+            w2 = dict(word_to_id)
+            i2 = list(id_to_word)
+            if verify_merges(dm, cfg, w2, i2):
+                self._finalize(
+                    model, w2, i2, [((a, b), nid) for a, b, nid in dm]
+                )
+                return list(cfg.special_tokens)
+            get_logger("trainer").warning(
+                "dense trainer hash-identity mismatch; per-round path"
+            )
+
         v_cap = max(cfg.vocab_size, len(id_to_word)) + 1
         # ---- pack corpus -------------------------------------------------
         W = len(words)
@@ -242,7 +265,11 @@ class DistributedBpeTrainer:
                         jnp.asarray(urow),
                     )
 
-        # ---- finalize ----------------------------------------------------
+        self._finalize(model, word_to_id, id_to_word, merges)
+        return list(cfg.special_tokens)
+
+    def _finalize(self, model, word_to_id, id_to_word, merges):
+        cfg = self.base
         model.vocab = dict(word_to_id)
         model.vocab_r = {v: k for k, v in model.vocab.items()}
         model.merges = {p: (i, nid) for i, (p, nid) in enumerate(merges)}
@@ -253,7 +280,6 @@ class DistributedBpeTrainer:
         model.end_of_word_suffix = cfg.end_of_word_suffix
         if model.cache is not None:
             model.cache.clear()
-        return list(cfg.special_tokens)
 
     def _upsert(self, reg: PairRegistry, a: int, b: int, delta: int, touched):
         """Host registry upsert; returns (idx, a, b, delta) for the device
