@@ -225,6 +225,96 @@ def bench_bpe_scan(name, word_cache, _retry=True, time_budget=45.0):
     return nbytes / best, nbytes
 
 
+def bench_wordpiece_scan(time_budget=45.0):
+    """bert WordPiece via the dedup'd scan program (ASCII groups batched
+    into one dispatch; stray non-ASCII chunks on the per-chunk path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tokenizers_tpu.ops.wordpiece_dedup import wordpiece_dedup_scan
+    from tokenizers_tpu.tokenizer import Tokenizer
+
+    tok = Tokenizer.from_file(FIXTURES["bert"])
+    eng = tok._get_device_engine()
+    assert eng is not None, "bert: device engine failed to build"
+
+    docs = build_docs()
+    staged, nbytes = _stage_chunks(eng, docs)
+    groups = {}
+    for b, l, ascii_only, shape in staged:
+        groups.setdefault((shape, ascii_only and eng.ascii_ok), []).append(
+            (b, l)
+        )
+    kwargs = eng._dedup_args()
+
+    @jax.jit
+    def reduce_out(acc, ntok):
+        return acc + jnp.sum(ntok)
+
+    def run():
+        acc = jnp.int32(0)
+        for (shape, dedup_ok), items in groups.items():
+            if dedup_ok and len(items) > 1:
+                bufs = jnp.stack([b for b, _ in items])
+                lens = jnp.stack([l for _, l in items])
+                st = eng._ensure_cache()
+                ids, ntok, bad, st2 = wordpiece_dedup_scan(
+                    bufs, lens, word_cache=True, cache_rows=st[0],
+                    cache_buf=st[1], cache_p=st[2], **kwargs,
+                )
+                eng._wc = list(st2)
+                acc = reduce_out(acc, ntok)
+            else:
+                for b, l in items:
+                    ids, ntok, bad = eng._run(b, l, False)
+                    acc = reduce_out(acc, ntok)
+        return int(acc)
+
+    best = _time_reps(run, budget=time_budget)
+    return nbytes / best, nbytes
+
+
+def bench_unigram_scan(time_budget=45.0):
+    """unigram Viterbi via the dedup'd dd-f32 scan program."""
+    import jax
+    import jax.numpy as jnp
+
+    from tokenizers_tpu.ops.unigram_dedup import unigram_dedup_scan
+    from tokenizers_tpu.tokenizer import Tokenizer
+
+    tok = Tokenizer.from_file(FIXTURES["unigram"])
+    eng = tok._get_device_engine()
+    assert eng is not None, "unigram: device engine failed to build"
+
+    docs = build_docs()
+    staged, nbytes = _stage_chunks(eng, docs)
+    groups = {}
+    for b, l, _ascii, shape in staged:
+        groups.setdefault(shape, []).append((b, l))
+    kwargs = eng._dedup_args()
+
+    @jax.jit
+    def reduce_out(acc, ntok):
+        return acc + jnp.sum(ntok)
+
+    def run():
+        acc = jnp.int32(0)
+        for shape, items in groups.items():
+            bufs = jnp.stack([b for b, _ in items])
+            lens = jnp.stack([l for _, l in items])
+            st = eng._ensure_cache()
+            ids, ntok, bad, st2 = unigram_dedup_scan(
+                bufs, lens, word_cache=True, cache_rows=st[0],
+                cache_buf=st[1], cache_p=st[2], **kwargs,
+            )
+            eng._wc = list(st2)
+            acc = reduce_out(acc, ntok)
+        return int(acc)
+
+    best = _time_reps(run, budget=time_budget)
+    return nbytes / best, nbytes
+
+
 def bench_dispatch(name, target=TARGET_BATCH_BYTES, time_budget=45.0):
     """WordPiece / Unigram engines: per-chunk program dispatch loop."""
     import jax
@@ -316,7 +406,7 @@ def run_config(cfg, time_budget):
             round(bps / max(ref, REF_STATED), 2),
         )
     elif cfg == "bert":
-        bps, _ = bench_dispatch("bert", time_budget=time_budget)
+        bps, _ = bench_wordpiece_scan(time_budget=time_budget)
         ref = ref_baseline("bert_encode_bps", REF_STATED)
         emit(
             "bert_wordpiece_batch_encode_bytes_per_sec_per_chip",
@@ -325,7 +415,7 @@ def run_config(cfg, time_budget):
             round(bps / max(ref, REF_STATED), 2),
         )
     elif cfg == "unigram":
-        bps, _ = bench_dispatch("unigram", time_budget=time_budget)
+        bps, _ = bench_unigram_scan(time_budget=time_budget)
         ref = ref_baseline("unigram_encode_bps", REF_STATED)
         emit(
             "unigram_batch_encode_bytes_per_sec_per_chip",

@@ -33,6 +33,7 @@ _DEVICE_PREFIXES = (
     "test_runtime",
     "test_unigram_trainer",
     "test_unigram_packed",
+    "test_unigram_dedup",
     "test_wordpiece_dedup",
     "test_c_api",
 )

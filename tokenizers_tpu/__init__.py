@@ -13,6 +13,14 @@ from .ops import _enable_compilation_cache as _  # noqa: F401
 
 from .added_vocabulary import AddedToken  # noqa: E402
 from .encoding import Encoding
+from .errors import (  # noqa: E402
+    InputError,
+    ModelError,
+    SerdeError,
+    TokenizersError,
+    TrainingError,
+    TruncationError,
+)
 from .normalized import NormalizedString
 from .pretokenized import PreTokenizedString, Token
 from .tokenizer import DecodeStream, Tokenizer
@@ -29,6 +37,12 @@ __version__ = "0.1.0"
 __all__ = [
     "AddedToken",
     "Encoding",
+    "TokenizersError",
+    "TruncationError",
+    "SerdeError",
+    "ModelError",
+    "TrainingError",
+    "InputError",
     "NormalizedString",
     "PreTokenizedString",
     "Token",

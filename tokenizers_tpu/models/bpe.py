@@ -23,6 +23,7 @@ from typing import Dict, Iterable, List, Optional, Tuple
 
 from ..pretokenized import Token
 from ..utils.cache import Cache
+from ..errors import ModelError
 from . import Model
 
 DEFAULT_CACHE_CAPACITY = 10_000
@@ -170,12 +171,12 @@ class BPE(Model):
         merge_map: Dict[Tuple[int, int], Tuple[int, int]] = {}
         for i, (a, b) in enumerate(merges):
             if a not in self.vocab:
-                raise ValueError(f"Merge token out of vocabulary: {a!r}")
+                raise ModelError(f"Merge token out of vocabulary: {a!r}")
             if b not in self.vocab:
-                raise ValueError(f"Merge token out of vocabulary: {b!r}")
+                raise ModelError(f"Merge token out of vocabulary: {b!r}")
             new_token = a + b.encode("utf-8")[prefix_len:].decode("utf-8")
             if new_token not in self.vocab:
-                raise ValueError(f"Merge token out of vocabulary: {new_token!r}")
+                raise ModelError(f"Merge token out of vocabulary: {new_token!r}")
             merge_map[(self.vocab[a], self.vocab[b])] = (i, self.vocab[new_token])
         return merge_map
 
@@ -195,7 +196,7 @@ class BPE(Model):
                     continue
                 parts = line.split(" ")
                 if len(parts) != 2:
-                    raise ValueError(f"Invalid merges line: {line!r}")
+                    raise ModelError(f"Invalid merges line: {line!r}")
                 merges.append((parts[0], parts[1]))
         return vocab, merges
 
@@ -242,7 +243,7 @@ class BPE(Model):
             if self.unk_token is not None:
                 unk_id = self.vocab.get(self.unk_token)
                 if unk_id is None:
-                    raise ValueError(
+                    raise ModelError(
                         f"Unk token `{self.unk_token}` is out of vocabulary"
                     )
                 if unk is not None and self.fuse_unk:

@@ -416,6 +416,11 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
     UF2 = ru * ids_u.shape[1]
 
     # ---- per-unique-word token counts and start offsets --------------
+    # bad_m: scalar/[B]-shaped flags (whole-batch fallback, the merge
+    # paths) or a [ru, uc2] per-position mask (per-WORD fallback: only
+    # input rows whose words hit the flag re-encode on host — the unigram
+    # near-tie contract, unigram_dedup.py)
+    word_level_bad = getattr(bad_m, "ndim", 0) == 2
     alive = ids_u >= 0
     tpos = g_excl_cumsum(alive.astype(jnp.int32))
     seg = wid_u2 != jnp.concatenate(
@@ -447,8 +452,25 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
 
     tcnt_u = per_word(is_last, k_in)
     t0_u = per_word(is_first, tpos)
+    if word_level_bad:
+        # word-total of the flag (forward + reverse inclusive segment
+        # sums cover flags after the word's last token), read at the
+        # word's first token
+        bi = bad_m.astype(jnp.int32)
+        fwd, _ = jax.lax.associative_scan(
+            _seg_count_op, (bi, seg), axis=1
+        )
+        seg_end = jnp.concatenate(
+            [seg[:, 1:], jnp.ones((ru, 1), bool)], axis=1
+        )
+        bwd, _ = jax.lax.associative_scan(
+            _seg_count_op, (bi, seg_end), axis=1, reverse=True
+        )
+        wbad_u = per_word(is_first, ((fwd + bwd - bi) > 0).astype(jnp.int32))
+    else:
+        wbad_u = jnp.zeros_like(tcnt_u)
     # ---- token storage: batch-local buffer, or the persistent cache --
-    ok_ins = ~jnp.any(bad_m)
+    ok_ins = jnp.bool_(True) if word_level_bad else ~jnp.any(bad_m)
     if cache_state is None:
         utoks = (
             jnp.full((UF2 + 1,), -1, jnp.int32)
@@ -474,24 +496,27 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
         new_tok = jnp.sum(alive.astype(jnp.int32))
 
     # ---- expand to per-row packed output -----------------------------
-    pair = jnp.stack([t0_u, tcnt_u], axis=-1)  # [nw_cap, 2]
+    pair = jnp.stack([t0_u, tcnt_u, wbad_u], axis=-1)  # [nw_cap, 3]
     # wid_u2 counts heads in buffer order == the representative's unique
     # order among *merged* (uncached) representatives.
     uord = g_excl_cumsum(in_buf.astype(jnp.int32))
     uord_of_rep = uord.reshape(-1)[jnp.clip(rep, 0, nw_cap - 1).reshape(-1)]
-    pr = pair[jnp.clip(uord_of_rep, 0, nw_cap - 1)].reshape(wr, wc, 2)
+    pr = pair[jnp.clip(uord_of_rep, 0, nw_cap - 1)].reshape(wr, wc, 3)
     # hit words read from the cache rows; merged words from this batch's
     # freshly appended span (tok_base + local offset)
     t0_w = jnp.where(hit, ct0, tok_base + pr[..., 0])
     k_w = jnp.where(wvalid, jnp.where(hit, ccnt, pr[..., 1]), 0)
+    wbad_w = wvalid & ~hit & (pr[..., 2] > 0)  # cache hits are never bad
 
     if cache_state is not None:
         # register merged representatives (overlong words excluded: their
-        # rolling hash is truncated and unreliable)
+        # rolling hash is truncated and unreliable; flagged words too)
         ins_ok = in_buf & ok_ins & (wlen_w <= WORD_CAP)
         prw0 = pair[jnp.clip(uord, 0, nw_cap - 1).reshape(-1)].reshape(
-            wr, wc, 2
+            wr, wc, 3
         )
+        if word_level_bad:
+            ins_ok = ins_ok & (prw0[..., 2] == 0)
         stgt = jnp.where(ins_ok, cslot, Sc).reshape(-1)
         rowvals = jnp.stack(
             [wh1, wh2, tok_base + prw0[..., 0], prw0[..., 1]], axis=-1
@@ -573,9 +598,20 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
     ids_out = jnp.where(in_out, fetched, -1)
 
     row_over = ntok > out_w
-    bad_all = jnp.any(bad_m) | jnp.any((ooff + k_w > out_w) & wvalid)
+    any_bad = (
+        jnp.bool_(False) if word_level_bad else jnp.any(bad_m)
+    )
+    bad_all = any_bad | jnp.any((ooff + k_w > out_w) & wvalid)
     ntok = jnp.where(row_over, 0, ntok)
     row_bad = row_over | jnp.broadcast_to(bad_all, (B,))
+    if word_level_bad:
+        # flagged words -> their input rows re-encode on host
+        tie_rows = (
+            jnp.zeros((B + 1,), jnp.int32)
+            .at[jnp.where(wbad_w.reshape(-1), roww.reshape(-1), B)]
+            .max(1)[:B]
+        )
+        row_bad = row_bad | (tie_rows > 0)
     if cache_state is None:
         return ids_out, ntok, row_bad
     return (ids_out, ntok, row_bad), new_state

@@ -24,12 +24,43 @@ from .wordpiece_engine import _roll
 
 class UnigramEngine(DeviceEngineBase):
     def __init__(self, tokenizer, model, vtab, scores, max_len):
+        import threading
+
         self.tokenizer = tokenizer
         self.max_len = max_len
         self.unk_id = np.int32(model.unk_id)
-        import math
+        self._wc = None
+        self._wc_lock = threading.Lock()
 
         self.unk_score = np.float64(model.min_score - 10.0)
+        # compensated-f32 representation for the TPU fast path
+        # (unigram_dedup.py): [S, 8] rows with dd score bits, dd unk score
+        from .unigram_dedup import dd_split
+
+        uhi, ulo = dd_split(np.asarray([self.unk_score]))
+        self.unk_hi = np.float32(uhi[0])
+        self.unk_lo = np.float32(ulo[0])
+        rows8 = []
+        for t in (0, 1):
+            hi, lo = dd_split(scores[t])
+            z = np.zeros_like(vtab.rank[t])
+            rows8.append(
+                np.stack(
+                    [
+                        vtab.key_a[t],
+                        vtab.key_b[t],
+                        vtab.rank[t],
+                        vtab.new_id[t],
+                        hi.view(np.int32),
+                        lo.view(np.int32),
+                        z,
+                        z,
+                    ],
+                    axis=-1,
+                ).astype(np.int32)
+            )
+        self.d_vrows8_0 = jnp.asarray(rows8[0])
+        self.d_vrows8_1 = jnp.asarray(rows8[1])
         s1, s2 = nmt_metaspace_class_table()
         self.d_cls_s1 = jnp.asarray(s1)
         self.d_cls_s2 = jnp.asarray(s2)
@@ -187,9 +218,100 @@ class UnigramEngine(DeviceEngineBase):
                 out.append(vocab[t][0])
         return out
 
+    # persistent word-cache sizing (see ByteLevelBpeEngine)
+    WC_SLOTS = 1 << 20
+    WC_CAP = 1 << 24
+
+    def _ensure_cache(self):
+        if self._wc is None:
+            self._wc = [
+                jnp.zeros((self.WC_SLOTS, 4), jnp.int32),
+                jnp.full((self.WC_CAP + 1,), -1, jnp.int32),
+                jnp.zeros((), jnp.int32),
+            ]
+        return self._wc
+
+    def _dedup_args(self):
+        return dict(
+            cls_s1=self.d_cls_s1,
+            cls_s2=self.d_cls_s2,
+            vrows0=self.d_vrows8_0,
+            vrows1=self.d_vrows8_1,
+            vseed=self.vseed,
+            pow1=self.d_pow1,
+            pow2=self.d_pow2,
+            unk_id=self.unk_id,
+            unk_hi=self.unk_hi,
+            unk_lo=self.unk_lo,
+            max_len=self.max_len,
+        )
+
+    def _use_dedup(self) -> bool:
+        from .merge_pallas import on_accelerator
+
+        return on_accelerator()
+
     def _program(self, buf, lengths):
+        if self._use_dedup():
+            from .unigram_dedup import unigram_dedup_program
+
+            with self._wc_lock:
+                st = self._ensure_cache()
+                ids, ntok, bad, st2 = unigram_dedup_program(
+                    buf,
+                    lengths,
+                    word_cache=True,
+                    cache_rows=st[0],
+                    cache_buf=st[1],
+                    cache_p=st[2],
+                    **self._dedup_args(),
+                )
+                self._wc = list(st2)
+            return ids, ntok, bad
         with jax.enable_x64():
             return self._program_x64(buf, lengths)
+
+    def _program_many(self, chunks):
+        """Batch same-shape chunks into one `lax.scan` dispatch with the
+        word cache as carry (`unigram_dedup_scan`)."""
+        from ..parallel.runtime import get_default_mesh
+
+        mesh = get_default_mesh()
+        if (
+            not self._use_dedup()
+            or (mesh is not None and mesh.devices.size > 1)
+        ):
+            return DeviceEngineBase._program_many(self, chunks)
+
+        from .unigram_dedup import unigram_dedup_scan
+
+        groups: dict = {}
+        for i, (buf, _lens, _orig) in enumerate(chunks):
+            groups.setdefault(buf.shape, []).append(i)
+
+        out: List[Optional[tuple]] = [None] * len(chunks)
+        for key, idxs in groups.items():
+            if len(idxs) == 1:
+                i = idxs[0]
+                out[i] = self._program(chunks[i][0], chunks[i][1])
+                continue
+            with self._wc_lock:
+                st = self._ensure_cache()
+                bufs = np.stack([chunks[i][0] for i in idxs])
+                lens = np.stack([chunks[i][1] for i in idxs])
+                ids, ntok, bad, st2 = unigram_dedup_scan(
+                    bufs,
+                    lens,
+                    word_cache=True,
+                    cache_rows=st[0],
+                    cache_buf=st[1],
+                    cache_p=st[2],
+                    **self._dedup_args(),
+                )
+                self._wc = list(st2)
+            for k, i in enumerate(idxs):
+                out[i] = (ids[k], ntok[k], bad[k])
+        return out
 
     def _program_x64(self, buf, lengths):
         return self._prog()(

@@ -160,12 +160,7 @@ def wordpiece_unique_encoder(
     return encode
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_len", "max_word_chars", "word_cache"),
-    donate_argnames=("cache_rows", "cache_buf", "cache_p"),
-)
-def wordpiece_dedup_program(
+def _wordpiece_dedup_core(
     bytes_u8,
     lengths,
     ascii_nb,
@@ -229,6 +224,19 @@ def wordpiece_dedup_program(
 
     geom = buffer_geometry(B * L)
     out_w = max(L // 2, 64)
+    if word_cache:
+        # persistent cross-batch word cache (same epoch-reset contract as
+        # the BPE path, bpe_encode._encode_core): when this batch could
+        # overflow the token buffer, void all hits and rewind in-graph
+        CAP = cache_buf.shape[0] - 1
+        reset = cache_p + jnp.int32((B * L) // 2) > CAP
+        crows_eff = jnp.where(reset, 0, cache_rows)
+        p_eff = jnp.where(reset, jnp.int32(0), cache_p)
+        cache = (crows_eff, reset)
+        cstate = (crows_eff, cache_buf, p_eff)
+    else:
+        cache = None
+        cstate = None
     # dedup_layout treats every in-`inb` byte as word content, so pass the
     # in-word mask as `inb` (ws bytes vanish like the dense pre-split);
     # long-word rows are excluded entirely
@@ -240,12 +248,10 @@ def wordpiece_dedup_program(
         nxt_bnd,
         jnp.int32(vseed),
         geom,
+        cache=cache,
     )
     encode = wordpiece_unique_encoder(
         vrows0, vrows1, vseed, pow1, pow2, unk_id, max_len, max_word_chars
-    )
-    cstate = (
-        (cache_rows, cache_buf, cache_p) if word_cache else None
     )
 
     def branch_fast(dops):
@@ -276,3 +282,62 @@ def wordpiece_dedup_program(
     if word_cache:
         return ids, ntok, bad, st
     return ids, ntok, bad
+
+
+wordpiece_dedup_program = functools.partial(
+    jax.jit,
+    static_argnames=("max_len", "max_word_chars", "word_cache"),
+    donate_argnames=("cache_rows", "cache_buf", "cache_p"),
+)(_wordpiece_dedup_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_len", "max_word_chars", "word_cache"),
+    donate_argnames=("cache_rows", "cache_buf", "cache_p"),
+)
+def wordpiece_dedup_scan(
+    bytes_u8,  # uint8[N, B, L]
+    lengths,  # int32[N, B]
+    ascii_nb,
+    ascii_cls,
+    vrows0,
+    vrows1,
+    vseed,
+    pow1,
+    pow2,
+    unk_id,
+    max_len,
+    max_word_chars,
+    word_cache=True,
+    cache_rows=None,
+    cache_buf=None,
+    cache_p=None,
+):
+    """N same-shape ASCII chunks in ONE device dispatch via `lax.scan`,
+    threading the persistent word cache through as the carry — the
+    WordPiece analogue of `bpe_encode.encode_program_scan` (per-chunk
+    dispatch costs ~10ms of transport on this backend; the scan pays it
+    once, and each distinct word across the whole batch runs the
+    candidate sweep + greedy chain exactly once)."""
+
+    def step(carry, xs):
+        buf, lens = xs
+        if word_cache:
+            crows, cbuf, p = carry
+            ids, ntok, bad, st = _wordpiece_dedup_core(
+                buf, lens, ascii_nb, ascii_cls, vrows0, vrows1, vseed,
+                pow1, pow2, unk_id, max_len, max_word_chars,
+                word_cache=True, cache_rows=crows, cache_buf=cbuf,
+                cache_p=p,
+            )
+            return tuple(st), (ids, ntok, bad)
+        ids, ntok, bad = _wordpiece_dedup_core(
+            buf, lens, ascii_nb, ascii_cls, vrows0, vrows1, vseed,
+            pow1, pow2, unk_id, max_len, max_word_chars,
+        )
+        return carry, (ids, ntok, bad)
+
+    init = (cache_rows, cache_buf, cache_p) if word_cache else ()
+    carry, (ids, ntok, bad) = jax.lax.scan(step, init, (bytes_u8, lengths))
+    return ids, ntok, bad, carry

@@ -37,7 +37,11 @@ def _roll(data: bytes, mult: np.uint32) -> np.int32:
 
 class WordPieceEngine(DeviceEngineBase):
     def __init__(self, tokenizer, model, norm_tables, cls_tables, vtab, max_len):
+        import threading
+
         self.tokenizer = tokenizer
+        self._wc = None
+        self._wc_lock = threading.Lock()
         self.max_len = max_len
         self.max_word_chars = model.max_input_chars_per_word
         self.unk_id = np.int32(model.vocab[model.unk_token])
@@ -167,27 +171,98 @@ class WordPieceEngine(DeviceEngineBase):
     def _program_offsets(self, buf, lengths):
         return self._run(buf, lengths, True)
 
+    # persistent word-cache sizing (see ByteLevelBpeEngine): 1M
+    # direct-mapped rows + 16M token append buffer, in-graph epoch reset
+    WC_SLOTS = 1 << 20
+    WC_CAP = 1 << 24
+
+    def _ensure_cache(self):
+        if self._wc is None:
+            self._wc = [
+                jnp.zeros((self.WC_SLOTS, 4), jnp.int32),
+                jnp.full((self.WC_CAP + 1,), -1, jnp.int32),
+                jnp.zeros((), jnp.int32),
+            ]
+        return self._wc
+
+    def _dedup_args(self):
+        return dict(
+            ascii_nb=self.d_ascii_nb,
+            ascii_cls=self.d_ascii_cls,
+            vrows0=self.d_vrows0,
+            vrows1=self.d_vrows1,
+            vseed=self.vseed,
+            pow1=self.d_pow1,
+            pow2=self.d_pow2,
+            unk_id=self.unk_id,
+            max_len=self.max_len,
+            max_word_chars=self.max_word_chars,
+        )
+
+    def _use_dedup(self, buf) -> bool:
+        from .merge_pallas import on_accelerator
+
+        return self.ascii_ok and self._is_ascii(buf) and on_accelerator()
+
     def _program(self, buf, lengths):
         # ASCII chunks ride the batch word-dedup machinery off-CPU: the
         # candidate sweep + greedy chain run over unique words only
         # (~15-25% of the text).  The dense program stays the oracle.
-        from .merge_pallas import on_accelerator
-
-        if self.ascii_ok and self._is_ascii(buf) and on_accelerator():
+        if self._use_dedup(buf):
             from .wordpiece_dedup import wordpiece_dedup_program
 
-            return wordpiece_dedup_program(
-                buf,
-                lengths,
-                self.d_ascii_nb,
-                self.d_ascii_cls,
-                self.d_vrows0,
-                self.d_vrows1,
-                self.vseed,
-                self.d_pow1,
-                self.d_pow2,
-                self.unk_id,
-                max_len=self.max_len,
-                max_word_chars=self.max_word_chars,
-            )
+            with self._wc_lock:
+                st = self._ensure_cache()
+                ids, ntok, bad, st2 = wordpiece_dedup_program(
+                    buf,
+                    lengths,
+                    word_cache=True,
+                    cache_rows=st[0],
+                    cache_buf=st[1],
+                    cache_p=st[2],
+                    **self._dedup_args(),
+                )
+                self._wc = list(st2)
+            return ids, ntok, bad
         return self._run(buf, lengths, False)
+
+    def _program_many(self, chunks):
+        """Batch same-shape ASCII chunks into single `lax.scan` dispatches
+        with the word cache as carry (`wordpiece_dedup_scan`) — the same
+        one-transport-round-trip batching the BPE engine does."""
+        from ..parallel.runtime import get_default_mesh
+        from .wordpiece_dedup import wordpiece_dedup_scan
+
+        mesh = get_default_mesh()
+        if mesh is not None and mesh.devices.size > 1:
+            return DeviceEngineBase._program_many(self, chunks)
+
+        groups: dict = {}
+        for i, (buf, _lens, _orig) in enumerate(chunks):
+            key = buf.shape if self._use_dedup(buf) else None
+            groups.setdefault(key, []).append(i)
+
+        out: List[Optional[tuple]] = [None] * len(chunks)
+        for key, idxs in groups.items():
+            if key is None or len(idxs) == 1:
+                for i in idxs:
+                    buf, lens, _ = chunks[i]
+                    out[i] = self._program(buf, lens)
+                continue
+            with self._wc_lock:
+                st = self._ensure_cache()
+                bufs = np.stack([chunks[i][0] for i in idxs])
+                lens = np.stack([chunks[i][1] for i in idxs])
+                ids, ntok, bad, st2 = wordpiece_dedup_scan(
+                    bufs,
+                    lens,
+                    word_cache=True,
+                    cache_rows=st[0],
+                    cache_buf=st[1],
+                    cache_p=st[2],
+                    **self._dedup_args(),
+                )
+                self._wc = list(st2)
+            for k, i in enumerate(idxs):
+                out[i] = (ids[k], ntok[k], bad[k])
+        return out

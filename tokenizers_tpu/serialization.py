@@ -15,6 +15,7 @@ from . import normalizers as N
 from . import pre_tokenizers as P
 from . import processors as PP
 from .added_vocabulary import AddedToken
+from .errors import SerdeError
 from .models import BPE, Unigram, WordLevel, WordPiece
 from .normalized import (
     CONTIGUOUS,
@@ -47,7 +48,7 @@ def _pattern_from_json(d: Dict[str, str]):
         return d["String"]
     if "Regex" in d:
         return ("Regex", d["Regex"])
-    raise ValueError(f"Unknown pattern: {d}")
+    raise SerdeError(f"Unknown pattern: {d}")
 
 
 # ---------------------------------------------------------------- normalizers
@@ -102,7 +103,7 @@ def normalizer_to_dict(n) -> Optional[Dict[str, Any]]:
         }
     if isinstance(n, N.ByteLevel):
         return {"type": "ByteLevel"}
-    raise ValueError(f"Cannot serialize normalizer {n!r}")
+    raise SerdeError(f"Cannot serialize normalizer {n!r}")
 
 
 def normalizer_from_dict(d) -> Optional[Any]:
@@ -142,7 +143,7 @@ def normalizer_from_dict(d) -> Optional[Any]:
         return N.Precompiled(base64.b64decode(d["precompiled_charsmap"]))
     if t == "ByteLevel":
         return N.ByteLevel()
-    raise ValueError(f"Unknown normalizer type: {t}")
+    raise SerdeError(f"Unknown normalizer type: {t}")
 
 
 # -------------------------------------------------------------- pretokenizers
@@ -193,7 +194,7 @@ def pre_tokenizer_to_dict(p) -> Optional[Dict[str, Any]]:
         return {"type": "UnicodeScripts"}
     if isinstance(p, P.FixedLength):
         return {"type": "FixedLength", "length": p.length}
-    raise ValueError(f"Cannot serialize pre-tokenizer {p!r}")
+    raise SerdeError(f"Cannot serialize pre-tokenizer {p!r}")
 
 
 def pre_tokenizer_from_dict(d) -> Optional[Any]:
@@ -237,7 +238,7 @@ def pre_tokenizer_from_dict(d) -> Optional[Any]:
         return P.UnicodeScripts()
     if t == "FixedLength":
         return P.FixedLength(d.get("length", 5))
-    raise ValueError(f"Unknown pre-tokenizer type: {t}")
+    raise SerdeError(f"Unknown pre-tokenizer type: {t}")
 
 
 # -------------------------------------------------------------------- models
@@ -286,7 +287,7 @@ def model_to_dict(m) -> Dict[str, Any]:
             "vocab": [[t, s] for t, s in m.vocab],
             "byte_fallback": m.byte_fallback,
         }
-    raise ValueError(f"Cannot serialize model {m!r}")
+    raise SerdeError(f"Cannot serialize model {m!r}")
 
 
 def model_from_dict(d) -> Any:
@@ -336,7 +337,7 @@ def model_from_dict(d) -> Any:
             unk_id=d.get("unk_id"),
             byte_fallback=d.get("byte_fallback", False),
         )
-    raise ValueError(f"Unknown model type: {t}")
+    raise SerdeError(f"Unknown model type: {t}")
 
 
 # ---------------------------------------------------------------- processors
@@ -382,7 +383,7 @@ def processor_to_dict(p) -> Optional[Dict[str, Any]]:
             "trim_offsets": p.trim_offsets,
             "use_regex": p.use_regex,
         }
-    raise ValueError(f"Cannot serialize processor {p!r}")
+    raise SerdeError(f"Cannot serialize processor {p!r}")
 
 
 def processor_from_dict(d) -> Optional[Any]:
@@ -427,7 +428,7 @@ def processor_from_dict(d) -> Optional[Any]:
             d.get("trim_offsets", True),
             d.get("use_regex", True),
         )
-    raise ValueError(f"Unknown processor type: {t}")
+    raise SerdeError(f"Unknown processor type: {t}")
 
 
 # ------------------------------------------------------------------ decoders
@@ -483,7 +484,7 @@ def decoder_to_dict(dec) -> Optional[Dict[str, Any]]:
             "pattern": _pattern_to_json(dec.pattern_kind, dec.pattern_str),
             "content": dec.content,
         }
-    raise ValueError(f"Cannot serialize decoder {dec!r}")
+    raise SerdeError(f"Cannot serialize decoder {dec!r}")
 
 
 def decoder_from_dict(d) -> Optional[Any]:
@@ -521,7 +522,7 @@ def decoder_from_dict(d) -> Optional[Any]:
         )
     if t == "Replace":
         return D.Replace(_pattern_from_json(d["pattern"]), d["content"])
-    raise ValueError(f"Unknown decoder type: {t}")
+    raise SerdeError(f"Unknown decoder type: {t}")
 
 
 # ----------------------------------------------------------- trunc / padding
@@ -686,7 +687,7 @@ def trainer_from_json(payload: str):
         "UnigramTrainer": T.UnigramTrainer,
     }.get(kind)
     if cls is None:
-        raise ValueError(f"unknown trainer type {kind!r}")
+        raise SerdeError(f"unknown trainer type {kind!r}")
     if "special_tokens" in d:
         d["special_tokens"] = [
             AddedToken(t, special=True) if isinstance(t, str) else AddedToken(**t)

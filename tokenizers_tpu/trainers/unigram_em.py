@@ -28,6 +28,7 @@ import numpy as np
 
 from ..added_vocabulary import AddedToken
 from ..models.unigram_lattice import Lattice
+from ..errors import TrainingError
 
 SentencePiece = Tuple[str, float]
 
@@ -161,7 +162,7 @@ class _TrainerOps:
             if out is not None:
                 exp_arr, z, ntokens = out
                 if np.isnan(z).any() or np.isnan(exp_arr).any():
-                    raise ValueError(
+                    raise TrainingError(
                         "likelihood is NAN. Input sentence may be too long."
                     )
                 objs = -float(z.sum()) / all_freq
@@ -174,7 +175,7 @@ class _TrainerOps:
             model.populate_nodes(lattice)
             z = lattice.populate_marginal(float(freq), expected)
             if math.isnan(z):
-                raise ValueError("likelihood is NAN. Input sentence may be too long.")
+                raise TrainingError("likelihood is NAN. Input sentence may be too long.")
             ntokens += len(lattice.viterbi())
             objs -= z / all_freq
         return objs, ntokens, expected
@@ -358,7 +359,7 @@ def do_train(cfg, word_counts: Dict[str, int], model) -> List[AddedToken]:
 
     required_chars = ops.required_chars()
     if len(required_chars) > cfg.vocab_size:
-        raise ValueError(
+        raise TrainingError(
             "The vocabulary is not large enough to contain all chars"
         )
 

@@ -9,6 +9,8 @@ LONGEST_FIRST = "longest_first"
 ONLY_FIRST = "only_first"
 ONLY_SECOND = "only_second"
 
+from ..errors import TruncationError
+
 
 class TruncationParams:
     __slots__ = ("direction", "max_length", "strategy", "stride")
@@ -21,9 +23,9 @@ class TruncationParams:
         direction: str = "right",
     ):
         if strategy not in (LONGEST_FIRST, ONLY_FIRST, ONLY_SECOND):
-            raise ValueError(f"Invalid truncation strategy: {strategy}")
+            raise TruncationError(f"Invalid truncation strategy: {strategy}")
         if direction not in ("left", "right"):
-            raise ValueError(f"Invalid truncation direction: {direction}")
+            raise TruncationError(f"Invalid truncation direction: {direction}")
         self.max_length = max_length
         self.strategy = strategy
         self.stride = stride
@@ -74,12 +76,12 @@ def truncate_encodings(
         elif pair_encoding is not None:
             target = pair_encoding
         else:
-            raise ValueError("Truncation error: Second sequence not provided")
+            raise TruncationError("Truncation error: Second sequence not provided")
         target_len = len(target.ids)
         if target_len > to_remove:
             target.truncate(target_len - to_remove, params.stride, params.direction)
         else:
-            raise ValueError(
+            raise TruncationError(
                 "Truncation error: Sequence to truncate too short to respect the provided max_length"
             )
     return encoding, pair_encoding
