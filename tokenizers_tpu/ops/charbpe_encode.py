@@ -221,6 +221,7 @@ def wl_boundaries(b, inb, lengths, cls_s1, cls_s2):
         "fuse_unk",
         "prepend",
         "split",
+        "with_offsets",
     ),
 )
 def charbpe_program(
@@ -242,8 +243,12 @@ def charbpe_program(
     fuse_unk=False,
     prepend=True,
     split=True,
+    with_offsets=False,
 ):
-    """-> (ids int32[B, OUT], ntok int32[B], row_bad bool[B])."""
+    """-> (ids int32[B, OUT], ntok int32[B], row_bad bool[B]); with
+    `with_offsets`, additionally (starts, ends, words) byte spans in the
+    prepared (host-normalized, and for kind="metaspace_pre" pre-expanded)
+    text plus per-token word ids."""
     B, L = bytes_u8.shape
     b = bytes_u8.astype(jnp.int32)
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
@@ -255,6 +260,23 @@ def charbpe_program(
             b, inb0, lengths, prepend, split
         )
         is_word_b = inb
+    elif kind == "metaspace_pre":
+        # offsets path: the ' '->▁ replacement (+ prepend) already ran
+        # host-side on a NormalizedString (exact alignments), so the text
+        # arrives pre-expanded; words start at each ▁ plus the text start
+        b1m = _shift_next(b, 0)
+        b2m = _shift_next(b, 0, 2)
+        is_meta = (
+            inb0 & (b == META[0]) & (b1m == META[1]) & (b2m == META[2])
+        )
+        if split:
+            bnd = (is_meta | (pos0 == 0)) & inb0
+        else:
+            bnd = (pos0 == 0) & (lengths[:, None] > 0)
+        inb = inb0
+        total = lengths
+        is_word_b = inb
+        overflow = jnp.zeros((B,), bool)
     elif kind == "none":
         # no pre-tokenizer (Llama-2 SPM shape): the whole text is one
         # segment.  Gated at build on complete <0x00>..<0xFF> coverage, so
@@ -369,8 +391,10 @@ def charbpe_program(
     # k_min=9: char-level seeding leaves dead runs up to WORD_CAP inside
     # words (fused unk, dropped chars), so every phase-1 round must see the
     # full fill horizon (see run_merge_phases docstring)
-    ids, _w, bad2, _o = run_merge_phases(
-        ids0, wid, merge_rows0, merge_rows1, seed, merge_mclr, k_min=9
+    obp0 = pos if with_offsets else None
+    ids, wid2, bad2, obp2 = run_merge_phases(
+        ids0, wid, merge_rows0, merge_rows1, seed, merge_mclr, k_min=9,
+        obp=obp0,
     )
     row_bad = row_bad | bad2
 
@@ -380,10 +404,37 @@ def charbpe_program(
     ntok = jnp.where(alive, k + 1, 0).max(axis=1)
     rows = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0)
     tgt = jnp.where(alive, k, out_w)
-    packed = (
-        jnp.full((B, out_w + 1), -1, jnp.int32)
-        .at[rows, tgt]
-        .set(ids)[:, :out_w]
-    )
+
+    def pack(x, fill=-1):
+        return (
+            jnp.full((B, out_w + 1), fill, jnp.int32)
+            .at[rows, tgt]
+            .set(jnp.where(alive, x, fill))[:, :out_w]
+        )
+
+    packed = pack(ids)
     row_bad = row_bad | (ntok > out_w)
-    return packed, ntok, row_bad
+    if not with_offsets:
+        return packed, ntok, row_bad
+
+    # token spans: start = kept (left) byte position; end = next token's
+    # start when same word, else the word's exclusive end (the byte-level
+    # BPE engine's rule, bpe_encode._encode_core)
+    starts = pack(obp2, 0)
+    wids_out = pack(wid2, -2)
+    nstarts = _shift_next(starts, 0)
+    nwids = _shift_next(wids_out, -3)
+    tok_pos = jax.lax.broadcasted_iota(jnp.int32, starts.shape, 1)
+    in_tok = tok_pos < ntok[:, None]
+    wend_at = jnp.take_along_axis(
+        wend_f, jnp.clip(starts, 0, L2 - 1), axis=1
+    )
+    ends = jnp.where(
+        in_tok & (nwids == wids_out) & _shift_next(in_tok, False),
+        nstarts,
+        wend_at,
+    )
+    ends = jnp.where(in_tok, ends, 0)
+    starts = jnp.where(in_tok, starts, 0)
+    wids_out = jnp.where(in_tok, wids_out, -1)
+    return packed, ntok, row_bad, starts, ends, wids_out

@@ -31,7 +31,8 @@ from .wordlevel_encode import wordlevel_class_tables
 
 
 class CharBpeEngine(DeviceEngineBase):
-    supports_offsets = False
+    supports_offsets = True
+    offsets_space = "normalized_bytes"
 
     def __init__(
         self,
@@ -231,4 +232,43 @@ class CharBpeEngine(DeviceEngineBase):
             has_unk=self.has_unk,
             fuse_unk=self.fuse_unk,
             prepend=self.prepend,
+        )
+
+    def _prepare_aligned(self, s: str):
+        """Offsets path: normalize (and for Metaspace, replace+prepend —
+        the exact host transform) on a NormalizedString so device byte
+        spans map back to the original text through its alignments."""
+        from ..normalized import NormalizedString
+
+        ns = NormalizedString(s)
+        nz = self.tokenizer.normalizer
+        if nz is not None:
+            nz.normalize(ns)
+        if self.kind == "metaspace":
+            ns.replace(" ", "▁")
+            if self.prepend and not ns.get().startswith("▁"):
+                ns.prepend("▁")
+        return ns.get().encode("utf-8"), ns
+
+    def _program_offsets(self, buf, lengths):
+        kind = "metaspace_pre" if self.kind == "metaspace" else self.kind
+        return charbpe_program(
+            buf,
+            lengths,
+            self.d_id_s1,
+            self.d_id_s2,
+            self.d_fb256,
+            self.unk_id,
+            self.d_rows0,
+            self.d_rows1,
+            self.seed,
+            self.d_mclr,
+            cls_s1=self.d_cls_s1,
+            cls_s2=self.d_cls_s2,
+            kind=kind,
+            byte_fallback=self.byte_fallback,
+            has_unk=self.has_unk,
+            fuse_unk=self.fuse_unk,
+            prepend=self.prepend,
+            with_offsets=True,
         )

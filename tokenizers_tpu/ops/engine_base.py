@@ -76,10 +76,24 @@ class DeviceEngineBase:
     tokenizer = None
     add_prefix_space = False
     supports_offsets = False  # subclass may provide _program_offsets
-    # _program_offsets return space: "prepared_bytes" (byte offsets into the
-    # prepared text, e.g. byte-level BPE) or "original_chars" (char offsets
-    # into the original text, e.g. WordPiece via source-char tracking)
+    # _program_offsets return space:
+    #   "prepared_bytes"   — byte offsets into the prepared text (byte-level
+    #                        BPE; prepared == original up to a prefix space)
+    #   "original_chars"   — char offsets into the original text (WordPiece:
+    #                        source-char tracking runs on device)
+    #   "normalized_bytes" — byte offsets into the HOST-normalized text;
+    #                        remapped to original-byte spans through the
+    #                        NormalizedString alignments `_prepare_aligned`
+    #                        captured (the reference's `convert_offsets`
+    #                        mechanism, `tokenizer/normalizer.rs:156`)
     offsets_space = "prepared_bytes"
+
+    def _prepare_aligned(self, s: str):
+        """(prepared bytes, NormalizedString|None) — engines whose
+        `_prepare` normalizes host-side override this so the offsets path
+        can map normalized spans back to the original text.  None means
+        prepared == original (no normalizer)."""
+        return self._prepare(s), None
 
     # subclass provides: _program(buf, lengths) -> (ids, ntok, row_bad)
 
@@ -252,11 +266,16 @@ class DeviceEngineBase:
         host_idx: List[int] = []
         offsets_kind = "char" if char_ref else "byte"
 
+        input_ns: dict = {}
         for i, s in enumerate(inputs):
             if self._needs_host(s, added):
                 host_idx.append(i)
                 continue
-            data = self._prepare(s)
+            if self.offsets_space == "normalized_bytes":
+                data, ns = self._prepare_aligned(s)
+                input_ns[i] = ns
+            else:
+                data = self._prepare(s)
             if len(data) > MAX_L // 2:
                 chunks = self._split_long(data, CHUNK_TARGET)
                 if len(chunks) == 1:
@@ -282,7 +301,9 @@ class DeviceEngineBase:
                     continue
                 ids, st, en, wd = res
                 bbase, cbase = piece_base[j]
-                base = bbase if self.offsets_space == "prepared_bytes" else cbase
+                base = (
+                    cbase if self.offsets_space == "original_chars" else bbase
+                )
                 per_input.setdefault(owner, []).append(
                     (ids, st + base, en + base, wd)
                 )
@@ -306,6 +327,23 @@ class DeviceEngineBase:
                     if self.add_prefix_space and not inputs[i].startswith(" "):
                         st = np.maximum(st - 1, 0)
                         en = np.maximum(en - 1, 0)
+                    if char_ref:
+                        st, en = _bytes_to_chars(inputs[i], st, en)
+                    else:
+                        st, en = _expand_bytes(inputs[i], st, en)
+                elif self.offsets_space == "normalized_bytes":
+                    # normalized-byte spans -> original-byte spans through
+                    # the alignments (convert_offsets: span start from the
+                    # first byte's alignment, end from the last byte's)
+                    ns = input_ns.get(i)
+                    if ns is not None and len(ns.alignments):
+                        a = np.asarray(ns.alignments, np.int64).reshape(-1, 2)
+                        nb = len(a)
+                        st0 = a[np.clip(st, 0, nb - 1), 0]
+                        en0 = np.where(
+                            en > st, a[np.clip(en - 1, 0, nb - 1), 1], st0
+                        )
+                        st, en = st0, en0
                     if char_ref:
                         st, en = _bytes_to_chars(inputs[i], st, en)
                     else:

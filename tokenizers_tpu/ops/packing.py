@@ -14,12 +14,12 @@ import numpy as np
 MIN_L = 64
 MAX_L = 1 << 17  # strings longer than this fall back to the host path
 POSITION_BUDGET = 1 << 21  # ~2M byte positions per device call (CPU tests)
-ACCEL_POSITION_BUDGET = 1 << 21  # on the TPU the fixed per-round cost says
-# "bigger is better" (PERF.md), but XLA compile time on this backend scales
-# ~linearly with the chunk shape (110s at 1M positions, >550s at 8M), so 2M
-# is the largest chunk whose one-time compile stays affordable; the
-# persistent compilation cache (enabled in tokenizers_tpu/__init__.py)
-# makes subsequent processes pay none of it
+ACCEL_POSITION_BUDGET = 1 << 23  # Most stage costs on this backend are
+# per-OP fixed overhead at these sizes (PERF.md: a merge round costs the
+# same at any width 40k-512k), so 4x the positions per dispatch is nearly
+# 4x the throughput.  The one-time XLA compile scales ~linearly with the
+# chunk (~110s/1M positions) and is paid once per machine via the
+# persistent compilation cache (tokenizers_tpu/ops/__init__.py).
 
 
 def _position_budget() -> int:

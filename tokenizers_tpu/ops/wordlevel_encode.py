@@ -110,7 +110,7 @@ def wordlevel_class_tables(kind: str):
     return _cls_cache[kind]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("with_offsets",))
 def wordlevel_program(
     bytes_u8,
     lengths,
@@ -122,8 +122,15 @@ def wordlevel_program(
     vid,
     vseed,
     unk_id,
+    with_offsets=False,
 ):
     """-> (ids int32[B, W], ntok int32[B], row_bad bool[B]); W = L//2+1.
+
+    With `with_offsets`, additionally (starts, ends, words): per-token byte
+    spans in the PREPARED (host-normalized) text + per-token word index —
+    each WordLevel token IS one pre-split word, so spans are the word
+    extents (reference `models/wordlevel/mod.rs:162-186` tokens carry the
+    split's offsets).
 
     row_bad: rows with more words than W (pathological; host fallback)."""
     from .wordpiece_encode import _decode_chars
@@ -221,9 +228,19 @@ def wordlevel_program(
     row_bad = ntok > W
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
     tgt = jnp.where(bnd, jnp.minimum(k, W), W)
-    out = (
-        jnp.full((B, W + 1), -1, jnp.int32)
-        .at[rows, tgt]
-        .set(jnp.where(bnd, out_id, -1))[:, :W]
-    )
-    return out, ntok, row_bad
+
+    def pack(x, fill=-1):
+        return (
+            jnp.full((B, W + 1), fill, jnp.int32)
+            .at[rows, tgt]
+            .set(jnp.where(bnd, x, fill))[:, :W]
+        )
+
+    out = pack(out_id)
+    if not with_offsets:
+        return out, ntok, row_bad
+    starts = pack(pos, 0)
+    ends = pack(pos + wl, 0)
+    opos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    words = jnp.where(opos < ntok[:, None], opos, -1)
+    return out, ntok, row_bad, starts, ends, words

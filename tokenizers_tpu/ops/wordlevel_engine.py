@@ -32,7 +32,8 @@ def _roll(data: bytes, mult: np.uint32) -> int:
 
 
 class WordLevelEngine(DeviceEngineBase):
-    supports_offsets = False
+    supports_offsets = True
+    offsets_space = "normalized_bytes"
 
     def __init__(self, tokenizer, vtab, unk_id):
         self.tokenizer = tokenizer
@@ -111,6 +112,16 @@ class WordLevelEngine(DeviceEngineBase):
                 return True
         return False
 
+    def _prepare_aligned(self, s: str):
+        nz = self.tokenizer.normalizer
+        if nz is None:
+            return s.encode("utf-8"), None
+        from ..normalized import NormalizedString
+
+        ns = NormalizedString(s)
+        nz.normalize(ns)
+        return ns.get().encode("utf-8"), ns
+
     def _program(self, buf, lengths):
         return wordlevel_program(
             buf,
@@ -123,4 +134,19 @@ class WordLevelEngine(DeviceEngineBase):
             self.d_vid,
             self.vseed,
             self.unk_id,
+        )
+
+    def _program_offsets(self, buf, lengths):
+        return wordlevel_program(
+            buf,
+            lengths,
+            self.d_cls_s1,
+            self.d_cls_s2,
+            self.d_vkey_a,
+            self.d_vkey_b,
+            self.d_vlen,
+            self.d_vid,
+            self.vseed,
+            self.unk_id,
+            with_offsets=True,
         )

@@ -23,12 +23,12 @@ first-class mesh/axis config object: this module owns
     shard over the default mesh when one is configured, with zero call-site
     changes.
 
-Multi-process meshes cannot be exercised in this image (one container, one
-tunneled chip; `jax.distributed` requires one process per host with a
-reachable coordinator), so tests cover the single-process paths plus mesh
-construction over the 8-device simulated CPU backend, and
-`__graft_entry__.dryrun_multichip` validates the sharded programs compile
-and run on an N-device mesh.
+Multi-process execution is tested for real on this image:
+tests/test_multihost.py boots TWO CPU processes against a localhost
+coordinator (4 virtual devices each), builds the 8-device global mesh
+through `build_mesh`, and runs the trainer's `psum` count reduction across
+processes.  `__graft_entry__.dryrun_multichip` additionally validates the
+full sharded programs on an N-device mesh.
 """
 
 from __future__ import annotations
