@@ -29,6 +29,7 @@ _DEVICE_PREFIXES = (
     "test_parallel_encode",
     "test_distributed_",
     "test_merge_",
+    "test_layout_pallas",
     "test_route",
     "test_runtime",
     "test_unigram_trainer",

@@ -122,12 +122,16 @@ def word_hash_heads(b, bnd, inb, mult):
     return jnp.where(is_end, h.astype(jnp.int32), jnp.where(fnd, he, 0))
 
 
-def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=None):
+def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=None,
+                 hashes=None):
     """Word records, representative election, unique-buffer layout.
 
     `cache`: optional (cache_rows [Sc, 4], reset bool scalar) — the
     persistent word cache; cached words are excluded from the merge
     buffer entirely.
+
+    `hashes`: optional precomputed (h1, h2) head-delivered word hashes
+    (the fused Pallas layout kernel, layout_pallas.py).
 
     Returns (fits, ops) where `ops` is the operand tuple for
     `dedup_finish`."""
@@ -140,8 +144,11 @@ def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=None):
 
     wend = jnp.minimum(nxt_bnd, lengths[:, None])
     wlen = wend - pos
-    h1 = word_hash_heads(b, bnd, inb, H1_MULT)
-    h2 = word_hash_heads(b, bnd, inb, H2_MULT)
+    if hashes is not None:
+        h1, h2 = hashes
+    else:
+        h1 = word_hash_heads(b, bnd, inb, H1_MULT)
+        h2 = word_hash_heads(b, bnd, inb, H2_MULT)
     fpos = pos + rowi * L
 
     nw = jnp.sum(bnd.astype(jnp.int32))

@@ -325,19 +325,41 @@ def _encode_core(
     inb = pos < lengths[:, None]
     b = jnp.where(inb, b, 0)
 
+    BIGP = jnp.int32(0x7FFFFFFF)
+    hashes = None
     if boundary == "gpt2":
-        bnd, _ = gpt2_boundaries(b, inb, cls_table, ascii_only=ascii_only)
+        from . import layout_pallas
+        from .merge_pallas import use_pallas
+
+        if (
+            ascii_only
+            and dedup
+            and not whole_word
+            and use_pallas()
+            and layout_pallas.supported(b.shape)
+        ):
+            # fused VMEM pass: boundaries + next-boundary + word hashes
+            bnd, nxt_bnd, h1k, h2k = layout_pallas.layout_fused(b, lengths)
+            hashes = (h1k, h2k)
+        else:
+            bnd, _ = gpt2_boundaries(
+                b, inb, cls_table, ascii_only=ascii_only
+            )
+            nxt_bnd = None
     else:
         from .llama3_presplit import llama3_boundaries
 
         bnd, _ = llama3_boundaries(b, inb, cls_table, ascii_only=ascii_only)
+        nxt_bnd = None
 
     word_id = jnp.where(inb, jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1, -1)
 
     # word-length guard (fill depth in the merge loop is bounded by WORD_CAP)
-    BIGP = jnp.int32(0x7FFFFFFF)
-    nbp = jax.lax.cummin(jnp.where(bnd, pos, BIGP), axis=1, reverse=True)
-    nxt_bnd = _shift_next(nbp, BIGP)
+    if nxt_bnd is None:
+        nbp = jax.lax.cummin(
+            jnp.where(bnd, pos, BIGP), axis=1, reverse=True
+        )
+        nxt_bnd = _shift_next(nbp, BIGP)
     wlen = jnp.minimum(nxt_bnd, lengths[:, None]) - pos  # at word heads
     row_bad = jnp.any(bnd & (wlen > WORD_CAP), axis=1)
 
@@ -415,7 +437,8 @@ def _encode_core(
             cache = None
             cstate = None
         fits, dops = dedup_layout(
-            b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=cache
+            b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=cache,
+            hashes=hashes,
         )
 
         def make_branch_fast(g):
