@@ -65,7 +65,24 @@ def pack_batch(
 
     out = []
     budget = _position_budget()
-    for (L, _lw, _ascii), idxs in sorted(buckets.items()):
+    # the ASCII tertiary split costs one extra partial-(B, L) compile
+    # variant per bucket pair; full ASCII chunks keep their fast path, but
+    # the ASCII *remainder* rides with the non-ASCII stream (which pays
+    # the generic path anyway) so mixed workloads mint at most one partial
+    # shape per (L, longword) instead of two
+    merged = {}
+    for (L, lw, is_ascii), idxs in buckets.items():
+        rpc = max(1, budget // L)
+        if is_ascii and (L, lw, False) in buckets:
+            full = len(idxs) // rpc * rpc
+            if full:
+                merged.setdefault((L, lw, True), []).extend(idxs[:full])
+            merged.setdefault((L, lw, False), []).extend(idxs[full:])
+        else:
+            merged.setdefault((L, lw, is_ascii), []).extend(idxs)
+    for key in merged:
+        merged[key].sort()
+    for (L, _lw, _ascii), idxs in sorted(merged.items()):
         rows_per_chunk = max(1, budget // L)
         for c in range(0, len(idxs), rows_per_chunk):
             chunk = idxs[c : c + rows_per_chunk]

@@ -58,8 +58,31 @@ class BpeTrainer:
     # ------------------------------------------------------------------ feed
 
     def feed(self, iterator: Iterable[str], process: Callable[[str], List[str]]) -> None:
+        """Count words over the corpus — chunked over the fork pool when
+        TOKENIZERS_PARALLELISM allows, mirroring the reference's rayon
+        map-reduce feed (`models/bpe/trainer.rs:609-638`)."""
+        from ..utils.parallelism import maybe_par_map
+
+        seqs = list(iterator)
         words = self.words
-        for sequence in iterator:
+        CHUNK = 2000
+        if len(seqs) >= 2 * CHUNK:
+            chunks = [
+                seqs[i : i + CHUNK] for i in range(0, len(seqs), CHUNK)
+            ]
+
+            def count(chunk):
+                local: Dict[str, int] = {}
+                for sequence in chunk:
+                    for word in process(sequence):
+                        local[word] = local.get(word, 0) + 1
+                return local
+
+            for local in maybe_par_map(count, chunks, min_items=2):
+                for w, c in local.items():
+                    words[w] = words.get(w, 0) + c
+            return
+        for sequence in seqs:
             for word in process(sequence):
                 words[word] = words.get(word, 0) + 1
 
