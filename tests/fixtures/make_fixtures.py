@@ -156,6 +156,23 @@ def train_unigram(lines, vocab_size=8000):
     return tok
 
 
+def make_unigram_bf():
+    """Byte-fallback variant of the unigram fixture (Llama-2-style SPM
+    semantics, reference `models/unigram/model.rs:429`): same pipeline, the
+    vocab extended with all 256 `<0xXX>` pieces, `byte_fallback=True`."""
+    base = hf.Tokenizer.from_file(os.path.join(HERE, "unigram", "tokenizer.json"))
+    spec = json.loads(base.to_str())
+    m = spec["model"]
+    have = {p for p, _s in m["vocab"]}
+    for b in range(256):
+        piece = f"<0x{b:02X}>"
+        if piece not in have:
+            m["vocab"].append([piece, -12.5])
+    m["byte_fallback"] = True
+    tok = hf.Tokenizer.from_str(json.dumps(spec))
+    return tok
+
+
 def main():
     corpus_path = os.path.join(HERE, "corpus.txt")
     if os.path.exists(corpus_path):
@@ -184,6 +201,19 @@ def main():
         tok.save(path)
         fixtures[name] = tok
         print(f"{name}: trained, vocab={tok.get_vocab_size()}")
+
+    # derived fixture: unigram + byte_fallback (needs unigram built first)
+    d = os.path.join(HERE, "unigram_bf")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "tokenizer.json")
+    if os.path.exists(path):
+        fixtures["unigram_bf"] = hf.Tokenizer.from_file(path)
+        print("unigram_bf: exists")
+    else:
+        tok = make_unigram_bf()
+        tok.save(path)
+        fixtures["unigram_bf"] = tok
+        print(f"unigram_bf: derived, vocab={tok.get_vocab_size()}")
 
     # golden encodings on a deterministic sample
     rng = random.Random(99)

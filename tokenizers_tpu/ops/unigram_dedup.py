@@ -101,7 +101,8 @@ def dd_split(x64: np.ndarray):
 
 
 def unigram_unique_encoder(
-    vrows0, vrows1, vseed, pow1, pow2, unk_id, unk_hi, unk_lo, max_len
+    vrows0, vrows1, vseed, pow1, pow2, unk_id, unk_hi, unk_lo, max_len,
+    bf_tab=None,
 ):
     """encode_fn for `dedup_finish`: forward DP + backtrack over the
     unique-word buffer.  Returns per-position bad flags (2D) marking words
@@ -294,6 +295,13 @@ def unigram_unique_encoder(
         emit = tok & ~fused_away
 
         # ---- tokens at their START byte positions ------------------------
+        if bf_tab is not None:
+            from .unigram_encode import byte_fallback_expand
+
+            ids, _st, _en, _emit_b = byte_fallback_expand(
+                emit, jlen, node_id, unk_id, bf_tab, b_u, inb_u, K
+            )
+            return ids, wid_u, near_f
         ids = jnp.full((ru, uc + 1), -1, jnp.int32)
         for d in range(1, K + 1):
             m = _shift_next(
@@ -326,6 +334,7 @@ def _unigram_dedup_core(
     unk_hi,
     unk_lo,
     max_len,
+    bf_tab=None,
     word_cache=False,
     cache_rows=None,
     cache_buf=None,
@@ -374,7 +383,8 @@ def _unigram_dedup_core(
         cache=cache,
     )
     encode = unigram_unique_encoder(
-        vrows0, vrows1, vseed, pow1, pow2, unk_id, unk_hi, unk_lo, max_len
+        vrows0, vrows1, vseed, pow1, pow2, unk_id, unk_hi, unk_lo, max_len,
+        bf_tab=bf_tab,
     )
 
     def branch_fast(dops):
@@ -432,6 +442,7 @@ def unigram_dedup_scan(
     unk_hi,
     unk_lo,
     max_len,
+    bf_tab=None,
     word_cache=True,
     cache_rows=None,
     cache_buf=None,
@@ -446,13 +457,13 @@ def unigram_dedup_scan(
             ids, ntok, bad, st = _unigram_dedup_core(
                 buf, lens, cls_s1, cls_s2, vrows0, vrows1, vseed,
                 pow1, pow2, unk_id, unk_hi, unk_lo, max_len,
-                word_cache=True, cache_rows=crows, cache_buf=cbuf,
-                cache_p=p,
+                bf_tab=bf_tab, word_cache=True, cache_rows=crows,
+                cache_buf=cbuf, cache_p=p,
             )
             return tuple(st), (ids, ntok, bad)
         ids, ntok, bad = _unigram_dedup_core(
             buf, lens, cls_s1, cls_s2, vrows0, vrows1, vseed,
-            pow1, pow2, unk_id, unk_hi, unk_lo, max_len,
+            pow1, pow2, unk_id, unk_hi, unk_lo, max_len, bf_tab=bf_tab,
         )
         return carry, (ids, ntok, bad)
 

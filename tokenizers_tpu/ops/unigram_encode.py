@@ -165,6 +165,69 @@ def normalize_metaspace(bytes_u8, lengths, cls_s1, cls_s2, with_src):
     return nb, wbnd, ninb, total, row_bad, src_char
 
 
+def byte_fallback_expand(emit, jlen, node_id, unk_id, bf_tab, nb, inb, K):
+    """Boundary-space emissions [R, C+1] -> byte-space emissions [R, C]
+    with `<0xXX>` expansion of unk spans (`unigram/model.rs:429-446`):
+    non-unk tokens emit at their start byte; each emitted (fused) unk span
+    emits one byte token per covered normalized byte, every one carrying
+    the whole span's extent.  `bf_tab` is the complete int32[256]
+    byte-value -> token-id table (engines only build it when all 256
+    pieces exist, so per-span existence checks are vacuous).
+
+    Returns (ids_b, st_b, en_b, emit_b) over [R, C]: token id, span start
+    byte (row-local), exclusive span end byte, emission mask."""
+    from .bpe_encode import take256
+
+    R = emit.shape[0]
+    C = emit.shape[1] - 1
+    ids_b = jnp.full((R, C + 1), -1, jnp.int32)
+    len_b = jnp.zeros((R, C + 1), jnp.int32)
+    for d in range(1, K + 1):
+        m = _shift_next((emit & (jlen == d)).astype(jnp.int32), 0, d) == 1
+        ids_b = jnp.where(m, _shift_next(node_id, -1, d), ids_b)
+        len_b = jnp.where(m, d, len_b)
+    ids_b = ids_b[:, :C]
+    len_b = len_b[:, :C]
+    start = ids_b >= 0
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+
+    # forward-fill (id, start) of the covering token over word bytes
+    def op_ff(a, c):
+        (i1, s1, f1), (i2, s2, f2) = a, c
+        return (
+            jnp.where(f2, i2, i1),
+            jnp.where(f2, s2, s1),
+            f1 | f2,
+        )
+
+    cov_id, cov_st, cov_set = jax.lax.associative_scan(
+        op_ff,
+        (
+            jnp.where(start, ids_b, -1),
+            jnp.where(start, pos, 0),
+            start,
+        ),
+        axis=1,
+    )
+    # exclusive end of the covering (possibly unk-fused) span: the next
+    # emission start or dead position strictly after p — tokens tile words,
+    # so that is exactly where the span ends (a fused run's interior unk
+    # pieces were removed and mint no start marks)
+    C_BIG = jnp.int32(C)
+    mark = jnp.where(start | ~inb, pos, C_BIG)
+    nxt_mark = jax.lax.cummin(mark, axis=1, reverse=True)
+    en_next = _shift_next(nxt_mark, C_BIG)
+    isbf = inb & cov_set & (cov_id == unk_id)
+    emit_b = inb & (isbf | (start & (ids_b != unk_id)))
+    bf_ids = take256(jnp.clip(nb, 0, 255), bf_tab)
+    ids_out = jnp.where(isbf, bf_ids, jnp.where(emit_b, ids_b, -1))
+    st_b = jnp.where(isbf, cov_st, pos)
+    en_b = jnp.where(isbf, en_next, pos + len_b)
+    st_b = jnp.where(emit_b, st_b, 0)
+    en_b = jnp.where(emit_b, en_b, 0)
+    return ids_out, st_b, en_b, emit_b
+
+
 @functools.partial(jax.jit, static_argnames=("max_len", "with_offsets"))
 def unigram_program(
     bytes_u8,
@@ -183,6 +246,7 @@ def unigram_program(
     unk_score,
     max_len,
     with_offsets=False,
+    bf_tab=None,
 ):
     """-> (ids int32[B, OUT], ntok int32[B], row_bad bool[B])."""
     B, L = bytes_u8.shape
@@ -389,6 +453,60 @@ def unigram_program(
         & (prev_id == unk_id)
     )
     emit = tok & ~fused_away
+
+    if bf_tab is not None:
+        # byte_fallback: emissions move to byte space, unk spans expand
+        ids_b, st_b, en_b, emit_b = byte_fallback_expand(
+            emit, jlen, node_id, unk_id, bf_tab, nb, ninb, K
+        )
+        rowsL = jax.lax.broadcasted_iota(jnp.int32, (B, L2), 0)
+        kb = jnp.cumsum(emit_b.astype(jnp.int32), axis=1) - 1
+        ntok = jnp.where(emit_b, kb + 1, 0).max(axis=1)
+        out_w = L2 // 2
+        sc_idx = jnp.where(emit_b, jnp.minimum(kb, out_w), out_w)
+
+        def packbf(x, fill=-1):
+            return (
+                jnp.full((B, out_w + 1), fill, jnp.int32)
+                .at[rowsL, sc_idx]
+                .set(jnp.where(emit_b, x, fill))[:, :out_w]
+            )
+
+        out = packbf(ids_b)
+        row_bad = row_bad | (ntok > out_w)
+        if not with_offsets:
+            return out, ntok, row_bad
+        starts_p = packbf(st_b, fill=0)
+        ends_p = packbf(en_b, fill=0)
+        tpos = jax.lax.broadcasted_iota(jnp.int32, starts_p.shape, 1)
+        in_tok = tpos < ntok[:, None]
+        src_pad = jnp.concatenate(
+            [src_char, jnp.zeros((B, 1), jnp.int32)], axis=1
+        )
+        st_char = jnp.take_along_axis(
+            src_pad, jnp.clip(starts_p, 0, L2), axis=1
+        )
+        en_char = (
+            jnp.take_along_axis(
+                src_pad, jnp.clip(ends_p - 1, 0, L2), axis=1
+            )
+            + 1
+        )
+        st_char = jnp.where(in_tok, st_char, 0)
+        en_char = jnp.where(in_tok, en_char, 0)
+        headb_pad = jnp.concatenate(
+            [headb, jnp.full((B, 1), -1, jnp.int32)], axis=1
+        )
+        head_at_start = jnp.take_along_axis(
+            headb_pad, jnp.clip(starts_p, 0, L2), axis=1
+        )
+        new_word = (
+            head_at_start != _shift_prev(head_at_start, -3)
+        ) & in_tok
+        word_idx = jnp.where(
+            in_tok, jnp.cumsum(new_word.astype(jnp.int32), axis=1) - 1, -1
+        )
+        return out, ntok, row_bad, st_char, en_char, word_idx
 
     # ---- compact ---------------------------------------------------------
     k = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1

@@ -23,7 +23,7 @@ from .wordpiece_engine import _roll
 
 
 class UnigramEngine(DeviceEngineBase):
-    def __init__(self, tokenizer, model, vtab, scores, max_len):
+    def __init__(self, tokenizer, model, vtab, scores, max_len, bf_tab=None):
         import threading
 
         self.tokenizer = tokenizer
@@ -32,6 +32,7 @@ class UnigramEngine(DeviceEngineBase):
         self._wc = None
         self._wc_lock = threading.Lock()
 
+        self.d_bf = None if bf_tab is None else jnp.asarray(bf_tab)
         self.unk_score = np.float64(model.min_score - 10.0)
         # compensated-f32 representation for the TPU fast path
         # (unigram_dedup.py): [S, 8] rows with dd score bits, dd unk score
@@ -92,14 +93,24 @@ class UnigramEngine(DeviceEngineBase):
         m = tokenizer.model
         if not isinstance(m, Unigram):
             return None
-        # byte_fallback expands unk pieces into <0xXX> tokens of the
-        # NORMALIZED piece string (incl. metaspace bytes, reference
-        # `unigram/model.rs:429`); reconstructing that span exactly on the
-        # output side is deferred — such models take the (conformant) host
-        # path.  fuse_unk is always true for deserialized models
+        # fuse_unk is always true for deserialized models
         # (`unigram/model.rs:125`).
-        if m.byte_fallback or m.unk_id is None or not m.fuse_unk:
+        if m.unk_id is None or not m.fuse_unk:
             return None
+        # byte_fallback expands unk pieces into <0xXX> tokens of the
+        # NORMALIZED piece string (reference `unigram/model.rs:429-446`);
+        # the device programs implement it (byte_fallback_expand) when all
+        # 256 byte pieces exist — so the per-piece "every byte token
+        # present" check is vacuously true.  Incomplete tables (byte
+        # fallback can then fail mid-span) take the host path.
+        bf_tab = None
+        if m.byte_fallback:
+            bf_tab = np.full((256,), -1, np.int32)
+            for b in range(256):
+                i = m.token_to_ids.get("<0x%02X>" % b)
+                if i is None:
+                    return None
+                bf_tab[b] = i
         nz = tokenizer.normalizer
         if not (
             isinstance(nz, NormSequence)
@@ -158,7 +169,7 @@ class UnigramEngine(DeviceEngineBase):
                     break
             if not placed:
                 return None
-        return UnigramEngine(tokenizer, m, vtab, scores, max_len)
+        return UnigramEngine(tokenizer, m, vtab, scores, max_len, bf_tab)
 
     # ----------------------------------------------------------------- encode
 
@@ -197,6 +208,7 @@ class UnigramEngine(DeviceEngineBase):
             unk_score=self.unk_score,
             max_len=self.max_len,
             with_offsets=True,
+            bf_tab=self.d_bf,
         )
 
     def _token_strings(self, ids, text, st_c, en_c):
@@ -244,6 +256,7 @@ class UnigramEngine(DeviceEngineBase):
             unk_hi=self.unk_hi,
             unk_lo=self.unk_lo,
             max_len=self.max_len,
+            bf_tab=self.d_bf,
         )
 
     def _use_dedup(self) -> bool:
@@ -330,4 +343,5 @@ class UnigramEngine(DeviceEngineBase):
             unk_id=self.unk_id,
             unk_score=self.unk_score,
             max_len=self.max_len,
+            bf_tab=self.d_bf,
         )

@@ -70,6 +70,7 @@ def unigram_program_packed(
     unk_score,
     max_len,
     with_offsets=False,
+    bf_tab=None,
 ):
     """Drop-in for `unigram_program` (same signature/returns)."""
     B, L = bytes_u8.shape
@@ -375,15 +376,33 @@ def unigram_program_packed(
         m = emit & (jlen == d)
         st_orig = jnp.where(m, _shift_prev(onorm_pad, 0, d), st_orig)
 
-    vals_tok = (
-        jnp.where(emit, node_id, -1),
-        jnp.where(emit, tok_row, -1),
-        st_orig,
-        jnp.where(emit, wend_orig, 0),  # word end (fused spans use this)
-        jnp.where(emit, head_key, -1),  # globally-unique word key
-    )
+    if bf_tab is not None:
+        # byte_fallback: emissions move to byte space (one token per byte
+        # of each unk span), with explicit span extents in original flat
+        # normalized space
+        from .unigram_encode import byte_fallback_expand
+
+        ids_b, st_b, en_b, emit_sel = byte_fallback_expand(
+            emit, jlen, node_id, unk_id, bf_tab, nbp, ninbp, K
+        )
+        vals_tok = (
+            ids_b,
+            jnp.where(emit_sel, rowidxp, -1),
+            jnp.where(emit_sel, onormp - (upos - st_b), 0),
+            jnp.where(emit_sel, onormp + (en_b - upos), 0),  # excl. end
+            jnp.where(emit_sel, head_flat, -1),
+        )
+    else:
+        emit_sel = emit
+        vals_tok = (
+            jnp.where(emit, node_id, -1),
+            jnp.where(emit, tok_row, -1),
+            st_orig,
+            jnp.where(emit, wend_orig, 0),  # word end (fused spans use this)
+            jnp.where(emit, head_key, -1),  # globally-unique word key
+        )
     fills_tok = (-1, -1, 0, 0, -1)
-    comp, tcount = compact_left(vals_tok, emit, fills_tok, wrap=True)
+    comp, tcount = compact_left(vals_tok, emit_sel, fills_tok, wrap=True)
     c_id, c_row, c_st, c_en, c_head = comp
     # rank within input row: global rank - first rank of that row
     flatp = (
@@ -450,14 +469,18 @@ def unigram_program_packed(
     o_head = jnp.where(
         live_out, o_head.reshape(-1)[:n_out].reshape(B, out_w), -1
     )
-    # end = next token's start within the same word (covers fused-unk
-    # spans), else the word's exclusive end — the dense path's rule
-    n_starts = _shift_next(o_st, 0)
-    n_keys = _shift_next(o_head, -2)
-    n_live = _shift_next(live_out.astype(jnp.int32), 0) > 0
-    ends_flat = jnp.where(
-        live_out & n_live & (n_keys == o_head), n_starts, o_en
-    )
+    if bf_tab is not None:
+        # byte_fallback tokens carry explicit exclusive span ends
+        ends_flat = o_en
+    else:
+        # end = next token's start within the same word (covers fused-unk
+        # spans), else the word's exclusive end — the dense path's rule
+        n_starts = _shift_next(o_st, 0)
+        n_keys = _shift_next(o_head, -2)
+        n_live = _shift_next(live_out.astype(jnp.int32), 0) > 0
+        ends_flat = jnp.where(
+            live_out & n_live & (n_keys == o_head), n_starts, o_en
+        )
     # original positions are flat (row * L2 + npos): localize
     st_loc = o_st - o_st // L2 * L2
     en_b = ends_flat - 1
