@@ -158,9 +158,12 @@ def bench_bpe_scan(name, word_cache, _retry=True, time_budget=45.0):
                 name, word_cache, _retry=False, time_budget=time_budget
             )
         except Exception as e:  # pragma: no cover - bench resilience
-            # Mosaic failure at real shapes: downgrade to the lax rounds
-            # (bit-identical, slower) and mark the probe cache so future
-            # processes skip the broken path too.
+            # Failure at real shapes: downgrade to the lax rounds
+            # (bit-identical, slower) for THIS process only.  The probe
+            # marker is deliberately left alone — a compile-helper OOM/
+            # timeout at bench shapes is not a Mosaic failure, and r3
+            # learned the hard way that persisting '0' here silently
+            # poisons every later process (~/.cache .../pallas_ok).
             from tokenizers_tpu.ops import merge_pallas
 
             if not merge_pallas.use_pallas():
@@ -168,11 +171,6 @@ def bench_bpe_scan(name, word_cache, _retry=True, time_budget=45.0):
             print(f"# pallas path failed ({type(e).__name__}); retrying lax",
                   file=sys.stderr, flush=True)
             merge_pallas._backend_ok = False
-            try:
-                with open(merge_pallas._probe_marker(), "w") as f:
-                    f.write("0")
-            except OSError:
-                pass
             return bench_bpe_scan(
                 name, word_cache, _retry=False, time_budget=time_budget
             )

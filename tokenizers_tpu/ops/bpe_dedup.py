@@ -390,6 +390,13 @@ def dedup_finish(
     ids_u, wid_u2, bad_m, _ = run_merge_phases(
         ids0, wid_u, rows0, rows1, seed, mclr
     )
+    # compaction overflow is per UNIQUE-BUFFER row ([ru] from `compact`);
+    # broadcast it to position granularity so _finish_expand's word-level
+    # machinery confines the damage to input rows whose words live in the
+    # overflowing buffer rows (r2 collapsed this to any() — one dense-code
+    # buffer row silently zeroed every row of the chunk)
+    if getattr(bad_m, "ndim", 0) == 1 and bad_m.shape[0] == ids_u.shape[0]:
+        bad_m = jnp.broadcast_to(bad_m[:, None], ids_u.shape)
     return _finish_expand(
         ids_u, wid_u2, bad_m, ops, geom, b.shape, out_w, cache_state
     )
@@ -513,7 +520,11 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
     # freshly appended span (tok_base + local offset)
     t0_w = jnp.where(hit, ct0, tok_base + pr[..., 0])
     k_w = jnp.where(wvalid, jnp.where(hit, ccnt, pr[..., 1]), 0)
-    wbad_w = wvalid & ~hit & (pr[..., 2] > 0)  # cache hits are never bad
+    # a merged word with ZERO tokens had every token dropped past a
+    # compaction edge (its buffer row overflowed): its input rows must
+    # host-fallback, and it must never enter the cache
+    dropped = wvalid & ~hit & (pr[..., 1] == 0) & (wlen_w > 0)
+    wbad_w = (wvalid & ~hit & (pr[..., 2] > 0)) | dropped
 
     if cache_state is not None:
         # register merged representatives (overlong words excluded: their
@@ -522,6 +533,7 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
         prw0 = pair[jnp.clip(uord, 0, nw_cap - 1).reshape(-1)].reshape(
             wr, wc, 3
         )
+        ins_ok = ins_ok & (prw0[..., 1] > 0)
         if word_level_bad:
             ins_ok = ins_ok & (prw0[..., 2] == 0)
         stgt = jnp.where(ins_ok, cslot, Sc).reshape(-1)
@@ -604,21 +616,27 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
     )
     ids_out = jnp.where(in_out, fetched, -1)
 
+    # token-count overflow is PER ROW: a word with ooff + k_w > out_w
+    # makes its row's ntok exceed out_w (ntok is the scatter-max of
+    # exactly that), its records never leave the row's output segment
+    # (otgt = roww * out_w + ooff with ooff < out_w), and every other
+    # row's routing is untouched.  Only merge-buffer badness (unique
+    # buffer shared by all rows) is batch-wide.  r2 broadcast overflow to
+    # the whole batch, which silently zeroed ALL 256 rows of a chunk when
+    # one dense-code row needed > out_w tokens.
     row_over = ntok > out_w
     any_bad = (
         jnp.bool_(False) if word_level_bad else jnp.any(bad_m)
     )
-    bad_all = any_bad | jnp.any((ooff + k_w > out_w) & wvalid)
     ntok = jnp.where(row_over, 0, ntok)
-    row_bad = row_over | jnp.broadcast_to(bad_all, (B,))
-    if word_level_bad:
-        # flagged words -> their input rows re-encode on host
-        tie_rows = (
-            jnp.zeros((B + 1,), jnp.int32)
-            .at[jnp.where(wbad_w.reshape(-1), roww.reshape(-1), B)]
-            .max(1)[:B]
-        )
-        row_bad = row_bad | (tie_rows > 0)
+    row_bad = row_over | jnp.broadcast_to(any_bad, (B,))
+    # flagged or dropped words -> their input rows re-encode on host
+    tie_rows = (
+        jnp.zeros((B + 1,), jnp.int32)
+        .at[jnp.where(wbad_w.reshape(-1), roww.reshape(-1), B)]
+        .max(1)[:B]
+    )
+    row_bad = row_bad | (tie_rows > 0)
     if cache_state is None:
         return ids_out, ntok, row_bad
     return (ids_out, ntok, row_bad), new_state

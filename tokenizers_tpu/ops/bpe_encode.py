@@ -151,7 +151,9 @@ def gpt2_boundaries(b, inb, cls_table, ascii_only=False):
         )
         cp = jnp.clip(cp, 0, 0x10FFFF)
 
-        cls = cls_table[cp].astype(jnp.int32)
+        from .merge_table import take_row8
+
+        cls = take_row8(cp, cls_table).astype(jnp.int32)
 
         # forward-fill class over continuation bytes (<= 3 steps)
         f = jnp.where(is_start, cls, -1)
@@ -474,27 +476,43 @@ def _encode_core(
             k = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
             ntok = jnp.where(alive, k + 1, 0).max(axis=1)
             rows = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0)
-            scatter_idx = jnp.where(alive, k, out_w)
+            scatter_idx = jnp.where(alive & (k < out_w), k, out_w)
             packed = (
                 jnp.full((B, out_w + 1), -1, jnp.int32)
                 .at[rows, scatter_idx]
-                .set(ids)[:, :out_w]
+                .set(jnp.where(alive & (k < out_w), ids, -1))[:, :out_w]
             )
+            # the merge width (5W/8 since r3) exceeds out_w: rows whose
+            # token count lands in (out_w, 5W/8] are no longer caught by
+            # compaction overflow — flag them here
+            bad2 = bad2 | (ntok > out_w)
+            ntok = jnp.where(ntok > out_w, 0, ntok)
             return (packed, ntok, bad2), (cstate if word_cache else ())
 
         if B * L >= (1 << 20):
-            # big (TPU-sized) buckets: also compile a small-buffer variant;
-            # highly repetitive batches (the common serving case) run the
-            # whole merge at 1/4 the width again
-            geom_small = buffer_geometry(B * L, denom=16)
-            fits_small = layout_fits(dops, geom_small)
-            branch_small = make_branch_fast(geom_small)
+            # big (TPU-sized) buckets: the full-width merge fallback would
+            # dominate the compiled program (the remote compile helper
+            # OOMs on it at 2M+ positions), so the overflow ladder is a
+            # half-capacity dedup buffer, then whole-chunk host fallback
+            # (row_bad) for batches where >50% of bytes are unique words —
+            # the same contract row_bad always had
+            geom_big = buffer_geometry(B * L, denom=2)
+            fits_big = layout_fits(dops, geom_big)
+            branch_big = make_branch_fast(geom_big)
+
+            def branch_host(dops):
+                r = (
+                    jnp.full((B, out_w), -1, jnp.int32),
+                    jnp.zeros((B,), jnp.int32),
+                    jnp.ones((B,), bool),
+                )
+                return r, (cstate if word_cache else ())
 
             def branch_rest(dops):
-                return jax.lax.cond(fits, branch_fast, branch_full, dops)
+                return jax.lax.cond(fits_big, branch_big, branch_host, dops)
 
             (ids_pk, ntok, badm), st = jax.lax.cond(
-                fits_small, branch_small, branch_rest, dops
+                fits, branch_fast, branch_rest, dops
             )
         else:
             (ids_pk, ntok, badm), st = jax.lax.cond(

@@ -331,43 +331,71 @@ def run_merge_phases(
     the same contract the single W/2 compaction always had."""
     B, W = ids.shape
 
+    from .merge_pallas import on_accelerator
+
+    accel = on_accelerator()
+
     own_l, own_r = init_own(ids, mclr)
     seg = _seg_of(wid)
-    for r in range(phase1_rounds):
-        ids, own_l, own_r, f = _round(
-            ids, own_l, own_r, wid, seg, rows0, rows1, seed,
-            k_steps=min(FILL_K, max(r + 1, k_min)),
+    if accel:
+        # accelerator rounds are fill-depth-invariant (the Pallas kernel
+        # always fills to FILL_K; the lax fallback at FILL_K is bit-equal),
+        # so fixed rounds roll into a fori_loop — the round body compiles
+        # ONCE per width instead of once per round, which cuts the XLA
+        # program (and the remote compile helper's memory) by ~4x per
+        # phase.  The unrolled shallow-fill schedule below stays the CPU
+        # path, where per-op cost makes shallow fills worthwhile.
+        def mk_body(widv, segv):
+            def body(_, st):
+                ids, ol, orr, _f = st
+                return _round(ids, ol, orr, widv, segv, rows0, rows1, seed)
+
+            return body
+
+        ids, own_l, own_r, f = jax.lax.fori_loop(
+            0, phase1_rounds, mk_body(wid, seg),
+            (ids, own_l, own_r, jnp.array(True)),
         )
+    else:
+        for r in range(phase1_rounds):
+            ids, own_l, own_r, f = _round(
+                ids, own_l, own_r, wid, seg, rows0, rows1, seed,
+                k_steps=min(FILL_K, max(r + 1, k_min)),
+            )
+
+    def _round_width(frac_num, frac_den):
+        # generous widths: token decay after 4 rounds averages ~0.37 on
+        # prose, but code/symbol-heavy rows plateau near 0.6-0.7 — a
+        # too-tight width drops their tokens and (since r3) host-
+        # fallbacks their input rows, so widths buy conformance-path
+        # throughput at a small per-round element cost.  Keep Pallas-
+        # supported alignment (C % 128 == 0).
+        w = (W * frac_num) // frac_den
+        if w >= 256:
+            w = -(-w // 128) * 128
+        return max(w, 64)
 
     extras = (own_l, own_r) + ((obp,) if obp is not None else ())
-    w2 = max(W // 2, 64)
+    w2 = _round_width(3, 4)
     ids, wid2, bad, extras = compact(ids, wid, w2, extras)
     own_l, own_r = extras[0], extras[1]
     seg2 = _seg_of(wid2)
 
-    # the extra unrolled shallow-fill phases triple program size; worth it
-    # on the TPU (fixed per-round cost dominates), but the throttled-CPU
-    # test backend OOMs LLVM compiling them — semantics are identical
-    # either way (the while_loop finishes whatever the fixed rounds left)
-    from .merge_pallas import on_accelerator
-
-    if on_accelerator():
-        for r in range(4):
-            ids, own_l, own_r, f = _round(
-                ids, own_l, own_r, wid2, seg2, rows0, rows1, seed,
-                k_steps=min(FILL_K, r + 1),
-            )
-        w3 = max((W * 5) // 16, 64)
+    if accel:
+        ids, own_l, own_r, f = jax.lax.fori_loop(
+            0, 4, mk_body(wid2, seg2),
+            (ids, own_l, own_r, jnp.array(True)),
+        )
+        w3 = _round_width(1, 2)
         extras = (own_l, own_r) + extras[2:]
         ids, wid3, bad3, extras = compact(ids, wid2, w3, extras)
         own_l, own_r = extras[0], extras[1]
         bad = bad | bad3
         seg3 = _seg_of(wid3)
-        for r in range(4):
-            ids, own_l, own_r, f = _round(
-                ids, own_l, own_r, wid3, seg3, rows0, rows1, seed,
-                k_steps=min(FILL_K, r + 1),
-            )
+        ids, own_l, own_r, f = jax.lax.fori_loop(
+            0, 4, mk_body(wid3, seg3),
+            (ids, own_l, own_r, jnp.array(True)),
+        )
     else:
         wid3, seg3 = wid2, seg2
         f = jnp.array(True)

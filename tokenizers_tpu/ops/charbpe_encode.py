@@ -180,8 +180,12 @@ def wl_boundaries(b, inb, lengths, cls_s1, cls_s2):
     `wordlevel_encode.wordlevel_program`."""
     B, L = b.shape
     cp, is_start, _ = _decode_chars(b, inb)
-    page = cls_s1[cp >> PAGE_BITS]
-    cls = cls_s2[(page << PAGE_BITS) | (cp & ((1 << PAGE_BITS) - 1))].astype(
+    from .merge_table import take_row8
+
+    page = take_row8(cp >> PAGE_BITS, cls_s1)
+    cls = take_row8(
+        (page << PAGE_BITS) | (cp & ((1 << PAGE_BITS) - 1)), cls_s2
+    ).astype(
         jnp.int32
     )
     f = jnp.where(is_start, cls, -1)
@@ -335,7 +339,9 @@ def charbpe_program(
     variant = (
         jnp.where(is_first, 0, 1) + jnp.where(is_last, 2, 0)
     )  # 0=plain 1=prefix 2=suffix 3=prefix+suffix
-    page = id_s1[cp >> PAGE_BITS]
+    from .merge_table import take_row8
+
+    page = take_row8(cp >> PAGE_BITS, id_s1)
     vrow = id_s2[(page << PAGE_BITS) | (cp & ((1 << PAGE_BITS) - 1))]
     cid = jnp.take_along_axis(vrow, variant[..., None], axis=-1)[..., 0]
     cid = jnp.where(cstart, cid, -1)

@@ -106,7 +106,9 @@ def llama3_boundaries(b, inb, cls_table, ascii_only=False):
             ),
         )
         cp = jnp.clip(cp, 0, 0x10FFFF)
-        cls = cls_table[cp].astype(jnp.int32)
+        from .merge_table import take_row8
+
+        cls = take_row8(cp, cls_table).astype(jnp.int32)
         cls = jnp.where((b == 0x0A) | (b == 0x0D), CLS_NL, cls)
 
         # forward-fill class and char-start position over continuation bytes

@@ -167,6 +167,23 @@ def consume_mins(
     return out
 
 
+def take_row8(idx, flat_table):
+    """`flat_table[idx]` with the flat-gather price (~8 ns/index on this
+    backend) replaced by a width-8 ROW gather (~3.2 ns/row — width <= 16
+    is free, PERF.md) + a 3-bit lane select (elementwise).  The table
+    length must be a multiple of 8 (all class/page tables are)."""
+    import jax.numpy as jnp
+
+    n = flat_table.shape[0]
+    rows = flat_table.reshape(n // 8, 8)
+    r = rows[idx >> 3]
+    lane = idx & 7
+    out = r[..., 0]
+    for k in range(1, 8):
+        out = jnp.where(lane == k, r[..., k], out)
+    return out
+
+
 def hash_jnp(a, b, seed: int, mask: int, which: int):
     """Same hash as `_hash`, in jax.numpy (uint32 wraparound semantics)."""
     import jax.numpy as jnp

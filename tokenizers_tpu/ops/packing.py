@@ -14,12 +14,13 @@ import numpy as np
 MIN_L = 64
 MAX_L = 1 << 17  # strings longer than this fall back to the host path
 POSITION_BUDGET = 1 << 21  # ~2M byte positions per device call (CPU tests)
-ACCEL_POSITION_BUDGET = 1 << 23  # Most stage costs on this backend are
-# per-OP fixed overhead at these sizes (PERF.md: a merge round costs the
-# same at any width 40k-512k), so 4x the positions per dispatch is nearly
-# 4x the throughput.  The one-time XLA compile scales ~linearly with the
-# chunk (~110s/1M positions) and is paid once per machine via the
-# persistent compilation cache (tokenizers_tpu/ops/__init__.py).
+ACCEL_POSITION_BUDGET = 1 << 21  # r3: measured element-PASS-bound, not
+# fixed-overhead-bound — 4x positions bought only ~24% (21->26 MB/s, r2)
+# while the XLA compile grew superlinearly until the remote compile
+# helper was OOM-killed at 8M positions (the real cause of BENCH_r02's
+# rc=124: the HTTP 500 then poisoned the pallas probe marker and the lax
+# retry never finished).  2M-position programs compile in ~4-9 min each
+# and are cached persistently (tokenizers_tpu/ops/__init__.py).
 
 
 def _position_budget() -> int:

@@ -80,9 +80,13 @@ def normalize_metaspace(bytes_u8, lengths, cls_s1, cls_s2, with_src):
     b = jnp.where(inb, b, 0)
 
     cp, is_start, charlen = _decode_chars(b, inb)
-    page = cls_s1[cp >> 8]
+    from .merge_table import take_row8
+
+    page = take_row8(cp >> 8, cls_s1)
     cls = jnp.where(
-        is_start, cls_s2[(page << 8) | (cp & 255)].astype(jnp.int32), CLS_DELETE
+        is_start,
+        take_row8((page << 8) | (cp & 255), cls_s2).astype(jnp.int32),
+        CLS_DELETE,
     )
     surv = is_start & (cls != CLS_DELETE)
     # Replace(" {2,}" -> " ") keeps the LAST space of a run: the reference's

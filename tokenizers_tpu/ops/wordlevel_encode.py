@@ -143,8 +143,12 @@ def wordlevel_program(
 
     # ---- pre-split -------------------------------------------------------
     cp, is_start, _ = _decode_chars(b, inb)
-    page = cls_s1[cp >> PAGE_BITS]
-    cls = cls_s2[(page << PAGE_BITS) | (cp & ((1 << PAGE_BITS) - 1))].astype(
+    from .merge_table import take_row8
+
+    page = take_row8(cp >> PAGE_BITS, cls_s1)
+    cls = take_row8(
+        (page << PAGE_BITS) | (cp & ((1 << PAGE_BITS) - 1)), cls_s2
+    ).astype(
         jnp.int32
     )
     # fill class over continuation bytes

@@ -143,9 +143,11 @@ def wordpiece_program(
     else:
         # ---- stage 1: normalize ------------------------------------------
         cp, is_start, _ = _decode_chars(b, inb)
-        page = norm_s1[cp >> 8]
+        from .merge_table import take_row8
+
+        page = take_row8(cp >> 8, norm_s1)
         tidx = (page << 8) | (cp & 255)
-        olen = jnp.where(is_start, norm_ol[tidx].astype(jnp.int32), 0)
+        olen = jnp.where(is_start, take_row8(tidx, norm_ol).astype(jnp.int32), 0)
         row_bad = jnp.any(olen < 0, axis=1)
         olen = jnp.maximum(olen, 0)
         opos = jnp.cumsum(olen, axis=1) - olen  # exclusive
@@ -154,10 +156,14 @@ def wordpiece_program(
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
         nb = jnp.zeros((B, L2 + NORM_K), jnp.uint8)
+        # one [T, NORM_K] ROW gather for all K output bytes (a row costs
+        # ~3.2 ns regardless of width; the old per-k flat gather paid
+        # ~8 ns x NORM_K per position)
+        ob_rows = norm_ob[tidx]
         for k in range(NORM_K):
             tgt = jnp.where((k < olen) & is_start, opos + k, L2 + NORM_K - 1)
             nb = nb.at[rows, tgt].set(
-                jnp.where((k < olen) & is_start, norm_ob[tidx, k], 0).astype(
+                jnp.where((k < olen) & is_start, ob_rows[..., k], 0).astype(
                     jnp.uint8
                 ),
                 mode="drop",
@@ -187,8 +193,8 @@ def wordpiece_program(
 
         # ---- stage 2: bert pre-split -------------------------------------
         cp2, nstart, _ = _decode_chars(nb, ninb)
-        pg2 = cls_s1[cp2 >> 8]
-        cls = cls_s2[(pg2 << 8) | (cp2 & 255)].astype(jnp.int32)
+        pg2 = take_row8(cp2 >> 8, cls_s1)
+        cls = take_row8((pg2 << 8) | (cp2 & 255), cls_s2).astype(jnp.int32)
         # per-byte class fill
         f = jnp.where(nstart, cls, -1)
         for _ in range(3):
