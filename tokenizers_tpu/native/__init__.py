@@ -114,6 +114,104 @@ def _enumerate_numpy(s: np.ndarray) -> List[Tuple[int, int, int]]:
     return out
 
 
+_trainer_lib = None
+_trainer_tried = False
+
+
+def _build_trainer_lib():
+    """Lazy-compile the native BPE trainer core (bpe_trainer_core.cpp)."""
+    global _trainer_lib, _trainer_tried
+    if _trainer_tried:
+        return _trainer_lib
+    _trainer_tried = True
+    src = os.path.join(os.path.dirname(__file__), "bpe_trainer_core.cpp")
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "tokenizers_tpu")
+    os.makedirs(cache, exist_ok=True)
+    sopath = os.path.join(cache, "libbpe_trainer_v1.so")
+    try:
+        if not os.path.exists(sopath) or os.path.getmtime(
+            sopath
+        ) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src,
+                 "-o", sopath],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(sopath)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.bpe_train_core.restype = ctypes.c_int64
+        lib.bpe_train_core.argtypes = [
+            i32p, i64p, i64p, ctypes.c_int64,          # words
+            u8p, i64p, ctypes.c_int64,                  # vocab strings
+            u8p, ctypes.c_int64,                        # prefix
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # cfg
+            i32p, ctypes.c_int64,                       # out
+        ]
+        _trainer_lib = lib
+    except Exception:
+        _trainer_lib = None
+    return _trainer_lib
+
+
+def bpe_train_merges(words, counts, id_to_word, prefix, vocab_size,
+                     min_frequency, max_token_length):
+    """Run the native trainer merge loop (steps 4-5 of BpeTrainer.do_train).
+
+    words: list of (symbol-id list, lens list) — lens must be all-1 (fresh
+    tokenization).  Returns a list of (a, b, new_id) merges, or None when
+    the native core is unavailable (callers fall back to the Python loop).
+    """
+    lib = _build_trainer_lib()
+    if lib is None:
+        return None
+    n = len(words)
+    word_off = np.zeros(n + 1, np.int64)
+    for i, (w, _l) in enumerate(words):
+        word_off[i + 1] = word_off[i] + len(w)
+    flat = np.zeros(int(word_off[-1]), np.int32)
+    for i, (w, _l) in enumerate(words):
+        flat[int(word_off[i]) : int(word_off[i + 1])] = w
+    cnt = np.asarray(counts, np.int64)
+    vb = [s.encode("utf-8") for s in id_to_word]
+    voff = np.zeros(len(vb) + 1, np.int64)
+    for i, s in enumerate(vb):
+        voff[i + 1] = voff[i] + len(s)
+    vbytes = np.frombuffer(b"".join(vb) or b"\x00", np.uint8).copy()
+    pfx = np.frombuffer(
+        (prefix or "").encode("utf-8") or b"\x00", np.uint8
+    ).copy()
+    cap = max(int(vocab_size) + 16, 64)
+    out = np.zeros(cap * 3, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    got = lib.bpe_train_core(
+        flat.ctypes.data_as(i32p),
+        word_off.ctypes.data_as(i64p),
+        cnt.ctypes.data_as(i64p),
+        np.int64(n),
+        vbytes.ctypes.data_as(u8p),
+        voff.ctypes.data_as(i64p),
+        np.int64(len(vb)),
+        pfx.ctypes.data_as(u8p),
+        np.int64(len((prefix or "").encode("utf-8"))),
+        np.int64(vocab_size),
+        np.int64(min_frequency),
+        np.int64(max_token_length),
+        out.ctypes.data_as(i32p),
+        np.int64(cap),
+    )
+    if got < 0:
+        return None
+    return [
+        (int(out[k * 3]), int(out[k * 3 + 1]), int(out[k * 3 + 2]))
+        for k in range(int(got))
+    ]
+
+
 def build_c_api(force: bool = False) -> str:
     """Compile the C ABI shared library (c_api.cpp — reference parity with
     `bindings/c/src/lib.rs`) against the running interpreter's headers.

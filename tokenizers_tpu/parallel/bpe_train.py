@@ -78,6 +78,17 @@ class DistributedBpeTrainer:
         mesh = self.mesh
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        # single-chip meshes have nothing to shard: the host trainer (with
+        # its native C++ merge loop — the same split the reference makes,
+        # rayon threads + native hot loop) is strictly faster than paying
+        # one device pass per merge.  TOKENIZERS_TPU_TRAINER=device forces
+        # the device path (used by its tests); multi-chip meshes always
+        # shard on device.
+        import os as _os
+
+        pref = _os.environ.get("TOKENIZERS_TPU_TRAINER", "auto").lower()
+        if mesh.devices.size == 1 and pref != "device":
+            return self.base.do_train(word_counts, model)
         ndev = mesh.devices.size
 
         word_to_id: Dict[str, int] = {}

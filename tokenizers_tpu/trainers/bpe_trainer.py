@@ -110,6 +110,45 @@ class BpeTrainer:
         # 3. tokenize words
         words, counts = self._tokenize_words(word_counts, word_to_id, id_to_word)
 
+        # 4+5 fast path: the native (C++) merge loop — a port of the Python
+        # loop below (the oracle; they are fuzzed identical in
+        # tests/test_native_trainer.py).  The reference's trainer hot loop
+        # is native too (models/bpe/trainer.rs).  Opt out with
+        # TOKENIZERS_TPU_NATIVE_TRAINER=0.
+        import os as _os
+
+        if _os.environ.get(
+            "TOKENIZERS_TPU_NATIVE_TRAINER", "1"
+        ).strip().lower() not in ("0", "false", "no", "off"):
+            from ..native import bpe_train_merges
+
+            triples = bpe_train_merges(
+                words,
+                counts,
+                id_to_word,
+                self.continuing_subword_prefix,
+                self.vocab_size,
+                self.min_frequency,
+                max_token_length,
+            )
+            if triples is not None:
+                merges: List[Tuple[Tuple[int, int], int]] = []
+                for a, b, new_id in triples:
+                    part_a = id_to_word[a]
+                    part_b = id_to_word[b]
+                    if self.continuing_subword_prefix and part_b.startswith(
+                        self.continuing_subword_prefix
+                    ):
+                        part_b = part_b[len(self.continuing_subword_prefix):]
+                    new_token = part_a + part_b
+                    if new_id == len(id_to_word):
+                        id_to_word.append(new_token)
+                        word_to_id[new_token] = new_id
+                    merges.append(((a, b), new_id))
+                return self._finalize_model(
+                    model, word_to_id, id_to_word, merges
+                )
+
         # 4. count pairs
         pair_counts: Dict[Tuple[int, int], int] = {}
         where_to_update: Dict[Tuple[int, int], Set[int]] = {}
@@ -188,8 +227,9 @@ class BpeTrainer:
             where_to_update = {}
 
         pbar.finish()
+        return self._finalize_model(model, word_to_id, id_to_word, merges)
 
-        # transfer to model
+    def _finalize_model(self, model, word_to_id, id_to_word, merges):
         model.vocab = dict(word_to_id)
         model.vocab_r = {v: k for k, v in model.vocab.items()}
         model.merges = {
