@@ -24,9 +24,14 @@ def _enable_compilation_cache():
         # stamps don't survive this fleet's heterogeneous hosts (observed:
         # SIGILL warnings on load, SIGSEGV in the cache write path).  The
         # cache only pays off for the remote TPU backend's minutes-long
-        # compiles anyway, so enable it only there.
+        # compiles anyway, so enable it only when the PRIMARY platform is
+        # not cpu.  (Substring matching was wrong: the default platform
+        # string here is "axon,cpu" — cpu as *fallback* — and the r3 guard
+        # `"cpu" in plats` disabled the cache on the TPU backend entirely,
+        # which is why every r3 bench config compiled cold.)
         plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-        if "cpu" in plats:
+        primary = plats.split(",")[0].strip().lower()
+        if primary == "cpu":
             return
         if jax.config.jax_compilation_cache_dir is None:
             cache_dir = os.path.join(
