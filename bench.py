@@ -80,6 +80,10 @@ def emit(metric, value, unit, vs):
     if LAST_WARMUP_S:
         # compile+first-run seconds, for diagnosing cold-cache runs
         rec["compile_s"] = round(LAST_WARMUP_S, 1)
+    if LAST_FALLBACK_PCT is not None:
+        # % of device rows the program flagged row_bad (host re-encode
+        # residue; see ops/engine_base.FallbackStats)
+        rec["fallback_rows_pct"] = round(LAST_FALLBACK_PCT, 3)
     print(json.dumps(rec), flush=True)
 
 
@@ -128,6 +132,7 @@ def _stage_chunks(eng, docs):
 
 
 LAST_WARMUP_S = 0.0  # compile+first-run time of the last _time_reps call
+LAST_FALLBACK_PCT = None  # % of device rows flagged row_bad in the last run
 
 
 def _time_reps(run, reps=5, budget=45.0):
@@ -161,6 +166,7 @@ def bench_bpe_scan(name, word_cache, _retry=True, time_budget=45.0):
     """gpt2/llama3 byte-level BPE via the chunk-scan program."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from tokenizers_tpu.ops.bpe_encode import encode_program_scan
     from tokenizers_tpu.tokenizer import Tokenizer
@@ -204,8 +210,12 @@ def bench_bpe_scan(name, word_cache, _retry=True, time_budget=45.0):
     def reduce_out(acc, ntok):
         return acc + jnp.sum(ntok)
 
+    fb = {"bad": 0, "rows": 0}
+
     def run():
         acc = jnp.int32(0)
+        accb = jnp.int32(0)
+        rows = 0
         for (shape, ascii_only), items in groups.items():
             bufs = jnp.stack([b for b, _ in items])
             lens = jnp.stack([l for _, l in items])
@@ -230,9 +240,14 @@ def bench_bpe_scan(name, word_cache, _retry=True, time_budget=45.0):
                     **kwargs,
                 )
             acc = reduce_out(acc, ntok)
+            accb = reduce_out(accb, bad.astype(jnp.int32))
+            rows += int(np.prod(bad.shape))
+        fb["bad"], fb["rows"] = int(accb), rows
         return int(acc)
 
     best = _time_reps(run, budget=time_budget)
+    global LAST_FALLBACK_PCT
+    LAST_FALLBACK_PCT = 100.0 * fb["bad"] / max(fb["rows"], 1)
     return nbytes / best, nbytes
 
 
@@ -262,8 +277,14 @@ def bench_wordpiece_scan(time_budget=45.0):
     def reduce_out(acc, ntok):
         return acc + jnp.sum(ntok)
 
+    fb = {"bad": 0, "rows": 0}
+
     def run():
+        import numpy as np
+
         acc = jnp.int32(0)
+        accb = jnp.int32(0)
+        rows = 0
         for (shape, dedup_ok), items in groups.items():
             if dedup_ok and len(items) > 1:
                 bufs = jnp.stack([b for b, _ in items])
@@ -275,13 +296,20 @@ def bench_wordpiece_scan(time_budget=45.0):
                 )
                 eng._wc = list(st2)
                 acc = reduce_out(acc, ntok)
+                accb = reduce_out(accb, bad.astype(jnp.int32))
+                rows += int(np.prod(bad.shape))
             else:
                 for b, l in items:
                     ids, ntok, bad = eng._run(b, l, False)
                     acc = reduce_out(acc, ntok)
+                    accb = reduce_out(accb, bad.astype(jnp.int32))
+                    rows += int(np.prod(bad.shape))
+        fb["bad"], fb["rows"] = int(accb), rows
         return int(acc)
 
     best = _time_reps(run, budget=time_budget)
+    global LAST_FALLBACK_PCT
+    LAST_FALLBACK_PCT = 100.0 * fb["bad"] / max(fb["rows"], 1)
     return nbytes / best, nbytes
 
 
@@ -308,8 +336,14 @@ def bench_unigram_scan(time_budget=45.0):
     def reduce_out(acc, ntok):
         return acc + jnp.sum(ntok)
 
+    fb = {"bad": 0, "rows": 0}
+
     def run():
+        import numpy as np
+
         acc = jnp.int32(0)
+        accb = jnp.int32(0)
+        rows = 0
         for shape, items in groups.items():
             bufs = jnp.stack([b for b, _ in items])
             lens = jnp.stack([l for _, l in items])
@@ -320,9 +354,14 @@ def bench_unigram_scan(time_budget=45.0):
             )
             eng._wc = list(st2)
             acc = reduce_out(acc, ntok)
+            accb = reduce_out(accb, bad.astype(jnp.int32))
+            rows += int(np.prod(bad.shape))
+        fb["bad"], fb["rows"] = int(accb), rows
         return int(acc)
 
     best = _time_reps(run, budget=time_budget)
+    global LAST_FALLBACK_PCT
+    LAST_FALLBACK_PCT = 100.0 * fb["bad"] / max(fb["rows"], 1)
     return nbytes / best, nbytes
 
 

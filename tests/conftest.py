@@ -37,6 +37,7 @@ _DEVICE_PREFIXES = (
     "test_unigram_dedup",
     "test_wordpiece_dedup",
     "test_c_api",
+    "test_fallback_stats",
 )
 
 

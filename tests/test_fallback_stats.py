@@ -1,0 +1,65 @@
+"""Host-fallback residue is counted and stays under its ceiling.
+
+The device engines silently re-encode row_bad rows on the host (overlong
+words, buffer overflow, unigram near-ties — `ops/engine_base.py`).  A
+silent rise in that residue would mask device regressions (the r3 class of
+bug where whole-chunk poisoning zeroed outputs), and at GB/s targets a
+fraction-of-a-percent host path becomes the bottleneck — so the fractions
+are process-global counters (`engine_base.STATS`), emitted by bench.py,
+and ceiling-asserted here on a realistic corpus slice.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tokenizers_tpu import Tokenizer
+from tokenizers_tpu.ops import engine_base
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+CORPUS = os.path.join(HERE, "fixtures", "corpus.txt")
+
+
+def _docs(n=48, size=2048):
+    text = open(CORPUS, encoding="utf-8").read()
+    return [text[i * size : (i + 1) * size] for i in range(n)]
+
+
+def _residue(fixture, docs):
+    tok = Tokenizer.from_file(
+        os.path.join(HERE, "fixtures", fixture, "tokenizer.json")
+    )
+    eng = tok._get_device_engine()
+    assert eng is not None
+    engine_base.STATS.reset()
+    encs = eng.encode_batch(docs, True)
+    assert all(e is not None for e in encs)
+    snap = engine_base.STATS.snapshot()
+    assert snap["device_rows"] > 0, "nothing reached the device program"
+    return snap
+
+
+def test_gpt2_fallback_residue_under_ceiling():
+    snap = _residue("gpt2", _docs())
+    # corpus slice is ordinary prose/code: bad rows must stay rare
+    assert snap["bad_row_fraction"] <= 0.005, snap
+
+
+def test_unigram_fallback_residue_under_ceiling():
+    # unigram near-tie fallback (compensated-f32 DP, ops/unigram_dedup.py)
+    # is word-level: flagged words send only their input rows to the host
+    snap = _residue("unigram", _docs(n=24))
+    assert snap["bad_row_fraction"] <= 0.02, snap
+
+
+def test_stats_count_host_pre_routing():
+    tok = Tokenizer.from_file(
+        os.path.join(HERE, "fixtures", "gpt2", "tokenizer.json")
+    )
+    eng = tok._get_device_engine()
+    engine_base.STATS.reset()
+    eng.encode_batch(["plain text", "has <|endoftext|> inside"], True)
+    snap = engine_base.STATS.snapshot()
+    assert snap["total_inputs"] == 2
+    assert snap["host_pre_inputs"] == 1  # the added-token input

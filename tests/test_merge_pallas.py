@@ -81,4 +81,4 @@ def test_pallas_round_matches_lax(seed, R, C, k):
     np.testing.assert_array_equal(
         np.asarray(r1_)[alive], np.asarray(r2_)[alive]
     )
-    assert bool(f1) == bool(f2)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))

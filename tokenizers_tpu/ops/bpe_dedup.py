@@ -317,23 +317,44 @@ def dedup_finish(
     urow = uoff // uceff
     ucol = uoff - urow * uceff
     uflat = urow * uc + ucol
-    utgt = jnp.where(in_buf, jnp.minimum(uflat, UFLAT), UFLAT).reshape(-1)
-    head_rec = jnp.stack(
-        [
-            (wpos_w - uflat).reshape(-1),
-            (uflat + wlen_w).reshape(-1),
-            jnp.ones(nw_cap, jnp.int32),
-        ],
-        axis=-1,
-    )
-    head_scat = (
-        jnp.full((UFLAT + 1, 3), -1, jnp.int32).at[utgt].set(head_rec)[:UFLAT]
-    )
-    uhead = (head_scat[:, 2] == 1).reshape(ru, uc)
-    (delta, wend_f), dset = _fill_last(
-        [head_scat[:, 0].reshape(ru, uc), head_scat[:, 1].reshape(ru, uc)],
-        uhead,
-    )
+    if UFLAT % wc == 0:
+        # targets are strictly increasing over in_buf words (uflat is a
+        # strictly increasing function of the running unique offset), so
+        # the head records move by a wrap butterfly route — measured ~7x
+        # cheaper than the flat scatter at bench scale (23.7 -> 3.5 ms
+        # per 512K records on this backend; PERF.md)
+        from .route import route_to
+
+        (delta0, wend0), uset = route_to(
+            (wpos_w - uflat, uflat + wlen_w),
+            in_buf,
+            jnp.where(in_buf, uflat, 0),
+            (0, 0),
+            wrap=True,
+            n_out=UFLAT,
+        )
+        uhead = uset.reshape(ru, uc)
+        d0 = delta0.reshape(ru, uc)
+        w0 = wend0.reshape(ru, uc)
+    else:  # odd geometries: the flat scatter
+        utgt = jnp.where(in_buf, jnp.minimum(uflat, UFLAT), UFLAT).reshape(-1)
+        head_rec = jnp.stack(
+            [
+                (wpos_w - uflat).reshape(-1),
+                (uflat + wlen_w).reshape(-1),
+                jnp.ones(nw_cap, jnp.int32),
+            ],
+            axis=-1,
+        )
+        head_scat = (
+            jnp.full((UFLAT + 1, 3), -1, jnp.int32)
+            .at[utgt]
+            .set(head_rec)[:UFLAT]
+        )
+        uhead = (head_scat[:, 2] == 1).reshape(ru, uc)
+        d0 = head_scat[:, 0].reshape(ru, uc)
+        w0 = head_scat[:, 1].reshape(ru, uc)
+    (delta, wend_f), dset = _fill_last([d0, w0], uhead)
     upos_f = (
         jax.lax.broadcasted_iota(jnp.int32, (ru, uc), 0) * uc
         + jax.lax.broadcasted_iota(jnp.int32, (ru, uc), 1)

@@ -154,7 +154,9 @@ def _fill_last_vals(vals, isset, reverse=False):
 def merge_round(ids, own_l, own_r, wid, seg, rows0, rows1, seed,
                 k_steps=FILL_K):
     """One merge round on (ids, wid); ids -1 = dead.
-    Returns (ids, own_l, own_r, any_f).
+    Returns (ids, own_l, own_r, f) — f is the bool merged-head mask (the
+    tail ladder in `run_merge_phases` uses it to find still-active words;
+    `jnp.any(f)` is the old any-merges scalar).
 
     `own_l`/`own_r` carry each position's token (MCL, MCR) — initialized
     once by the caller (`init_own`) and updated here from the width-8
@@ -241,7 +243,7 @@ def merge_round(ids, own_l, own_r, wid, seg, rows0, rows1, seed,
     ids = jnp.where(kill, -1, ids)
     own_l = jnp.where(f, mcl_new, own_l)
     own_r = jnp.where(f, mcr_new, own_r)
-    return ids, own_l, own_r, jnp.any(f)
+    return ids, own_l, own_r, f
 
 
 def init_own(ids, mclr):
@@ -295,6 +297,151 @@ def compact(ids, wid, w_new, extras=()):
 
 def _seg_of(wid):
     return wid != _shift_prev(wid, -2)
+
+
+def _seg_count_rev(add, reset_end):
+    """Reverse inclusive segmented sum (reset at segment-END flags)."""
+
+    def op(a, b):
+        (v1, f1), (v2, f2) = a, b
+        return jnp.where(f2, v2, v1 + v2), f1 | f2
+
+    out, _ = jax.lax.associative_scan(
+        op, (add.astype(jnp.int32), reset_end), axis=1, reverse=True
+    )
+    return out
+
+
+def _word_any(f, seg):
+    """Per position: whether any position of its word has `f` set."""
+    fi = f.astype(jnp.int32)
+    fwd = _seg_count(fi > 0, seg)
+    seg_end = _shift_next(seg, True)
+    bwd = _seg_count_rev(fi, seg_end)
+    return (fwd + bwd - fi) > 0
+
+
+def _g_excl_cumsum(x):
+    """Row-major global exclusive cumsum of a 2D int32 array."""
+    r = jnp.cumsum(x, axis=1)
+    tot = r[:, -1]
+    roff = jnp.cumsum(tot) - tot
+    return r - x + roff[:, None]
+
+
+def _tail_ladder(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
+                 obp=None):
+    """Data-dependent merge tail, on a buffer sized to the ACTIVE words.
+
+    After the 12 scheduled rounds, almost every word is finished: measured
+    on the bench corpus, active tokens (tokens of words that still merged
+    last round) are ~1% of the buffer, and the last ~15 rounds chase a
+    single long word — yet the plain while-loop ran every round over the
+    whole W/2 buffer (round cost ≈ fixed + ~7-10 ns/element; PERF.md).
+
+    A word with no merge in a round is finished FOREVER: the safe-set round
+    always merges each word's minimum-rank remaining pair (`merge_round`),
+    so no merge ⇔ no candidate pairs left.  So:
+
+      1. loop at w3 while merges continue AND the active tokens exceed the
+         small-buffer capacity (usually zero extra rounds);
+      2. butterfly-compact the active words' alive tokens into a buffer
+         1/16 the rows (words placed with WORD_CAP row-slack so none
+         crosses a row — same trick as the dedup unique buffer);
+      3. loop there until no merges;
+      4. invalidate the active words' stale tokens in the w3 buffer and
+         butterfly-route the finished tokens back to their home positions
+         (monotone: compaction and in-place merges both preserve order).
+
+    Returns (ids, obp') at w3 shapes.  `obp` (original byte positions for
+    the offsets path) rides the compaction and the route back."""
+    B3, C3 = ids.shape
+    R4 = max(B3 // 16, 1)
+    C4 = C3
+    slack = min(WORD_CAP, C4 // 2)
+    C4eff = C4 - slack
+    CAP4 = R4 * C4eff
+
+    def act_stats(ids_, f_):
+        alive_ = ids_ >= 0
+        act = alive_ & _word_any(f_ & alive_, seg3)
+        return act, jnp.sum(act.astype(jnp.int32))
+
+    def cond3(st):
+        return jnp.any(st[3]) & (st[4] > CAP4)
+
+    def body3(st):
+        ids_, ol_, orr_, f_, _n = st
+        ids2, ol2, orr2, f2 = _round(
+            ids_, ol_, orr_, wid3, seg3, rows0, rows1, seed
+        )
+        _a, n2 = act_stats(ids2, f2)
+        return ids2, ol2, orr2, f2, n2
+
+    _a0, n0 = act_stats(ids, f)
+    ids, own_l, own_r, f, _n = jax.lax.while_loop(
+        cond3, body3, (ids, own_l, own_r, f, n0)
+    )
+    act, _n = act_stats(ids, f)
+
+    # ---- compact active words' alive tokens to [R4, C4] ----------------
+    from .route import route_to
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (B3, C3), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (B3, C3), 1)
+    # global word ordinal: wid3 may be per-row (full-width paths), so words
+    # from different rows that become adjacent after compaction must still
+    # compare unequal.  seg3 never fires inside a word (killed slots keep
+    # their wid), so the running count of segment starts is constant on a
+    # word and distinct between words (dead-fill runs burn an ordinal,
+    # harmlessly).
+    segi = seg3.astype(jnp.int32)
+    gw = _g_excl_cumsum(segi) + segi - 1
+    r_d = _g_excl_cumsum(act.astype(jnp.int32))  # dense rank among actives
+    k_w = _seg_count(act, seg3) - 1  # within-word rank (at act positions)
+    b_w = r_d - k_w  # word base = first active position's dense rank
+    tgt = (b_w // C4eff) * C4 + (b_w % C4eff) + k_w
+    home = rowi * C3 + coli
+    vals = (ids, own_l, own_r, gw, home) + (
+        (obp,) if obp is not None else ()
+    )
+    fills = (-1, 0, 0, -1, 0) + ((0,) if obp is not None else ())
+    routed, live4 = route_to(
+        vals, act, jnp.where(act, tgt, 0), fills, wrap=True, n_out=R4 * C4
+    )
+    ids4, ol4, orr4, gw4, home4 = routed[:5]
+    obp4 = routed[5] if obp is not None else None
+    ids4 = jnp.where(live4, ids4, -1)
+    seg4 = _seg_of(jnp.where(live4, gw4, -1))
+
+    # ---- rounds until dry ---------------------------------------------
+    def cond4(st):
+        return st[3]
+
+    def body4(st):
+        ids_, ol_, orr_, _ = st
+        a, l, r, f4 = _round(ids_, ol_, orr_, gw4, seg4, rows0, rows1, seed)
+        return a, l, r, jnp.any(f4)
+
+    ids4, ol4, orr4, _ = jax.lax.while_loop(
+        cond4, body4, (ids4, ol4, orr4, jnp.any(live4))
+    )
+
+    # ---- route finished tokens back to their home positions ------------
+    alive4 = ids4 >= 0
+    back_vals = (ids4,) + ((obp4,) if obp is not None else ())
+    back_fills = (-1,) + ((0,) if obp is not None else ())
+    backed, liveb = route_to(
+        back_vals, alive4, jnp.where(alive4, home4, 0), back_fills,
+        wrap=True, n_out=B3 * C3,
+    )
+    ids_b = backed[0].reshape(B3, C3)
+    liveb = liveb.reshape(B3, C3)
+    ids = jnp.where(liveb, ids_b, jnp.where(act, -1, ids))
+    if obp is not None:
+        obp_b = backed[1].reshape(B3, C3)
+        obp = jnp.where(liveb, obp_b, obp)
+    return ids, obp
 
 
 def run_merge_phases(
@@ -354,7 +501,7 @@ def run_merge_phases(
 
         ids, own_l, own_r, f = jax.lax.fori_loop(
             0, phase1_rounds, mk_body(wid, seg),
-            (ids, own_l, own_r, jnp.array(True)),
+            (ids, own_l, own_r, jnp.zeros(ids.shape, bool)),
         )
     else:
         for r in range(phase1_rounds):
@@ -384,33 +531,34 @@ def run_merge_phases(
     if accel:
         ids, own_l, own_r, f = jax.lax.fori_loop(
             0, 4, mk_body(wid2, seg2),
-            (ids, own_l, own_r, jnp.array(True)),
-        )
-        w3 = _round_width(1, 2)
-        extras = (own_l, own_r) + extras[2:]
-        ids, wid3, bad3, extras = compact(ids, wid2, w3, extras)
-        own_l, own_r = extras[0], extras[1]
-        bad = bad | bad3
-        seg3 = _seg_of(wid3)
-        ids, own_l, own_r, f = jax.lax.fori_loop(
-            0, 4, mk_body(wid3, seg3),
-            (ids, own_l, own_r, jnp.array(True)),
+            (ids, own_l, own_r, jnp.zeros(ids.shape, bool)),
         )
     else:
-        wid3, seg3 = wid2, seg2
-        f = jnp.array(True)
-
-    def cond(state):
-        return state[3]
-
-    def body(state):
-        ids, own_l, own_r, _ = state
-        return _round(
-            ids, own_l, own_r, wid3, seg3, rows0, rows1, seed
+        for r in range(4):
+            ids, own_l, own_r, f = _round(
+                ids, own_l, own_r, wid2, seg2, rows0, rows1, seed,
+                k_steps=min(FILL_K, r + 1),
+            )
+    w3 = _round_width(1, 2)
+    extras = (own_l, own_r) + extras[2:]
+    ids, wid3, bad3, extras = compact(ids, wid2, w3, extras)
+    own_l, own_r = extras[0], extras[1]
+    bad = bad | bad3
+    seg3 = _seg_of(wid3)
+    if accel:
+        ids, own_l, own_r, f = jax.lax.fori_loop(
+            0, 4, mk_body(wid3, seg3),
+            (ids, own_l, own_r, jnp.zeros(ids.shape, bool)),
         )
+    else:
+        for r in range(4):
+            ids, own_l, own_r, f = _round(
+                ids, own_l, own_r, wid3, seg3, rows0, rows1, seed,
+                k_steps=min(FILL_K, r + 1),
+            )
 
-    ids, own_l, own_r, _ = jax.lax.while_loop(
-        cond, body, (ids, own_l, own_r, f)
+    ids, obp2 = _tail_ladder(
+        ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
+        obp=extras[2] if obp is not None else None,
     )
-    obp2 = extras[2] if obp is not None else None
     return ids, wid3, bad, obp2

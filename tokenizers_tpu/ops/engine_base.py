@@ -19,6 +19,44 @@ from .packing import MAX_L, pack_batch
 CHUNK_TARGET = 1 << 15  # ~32KB device chunks for long documents
 
 
+class FallbackStats:
+    """Process-global counters for the host-fallback residue.
+
+    The device engines silently re-encode on the host (a) inputs containing
+    added/special tokens or lacking a safe long-doc seam (routed *before*
+    the device runs) and (b) rows the compiled program flags `row_bad`
+    (overlong words, buffer overflow, unigram near-ties).  At GB/s targets
+    a fraction-of-a-percent host residue becomes the bottleneck, and a
+    silent rise masks device regressions — so the fractions are counted
+    here, emitted by bench.py, and ceiling-asserted in the device tests."""
+
+    __slots__ = ("device_rows", "bad_rows", "host_pre_inputs",
+                 "total_inputs")
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.device_rows = 0  # work items sent to the compiled program
+        self.bad_rows = 0  # of those, flagged row_bad -> host re-encode
+        self.host_pre_inputs = 0  # inputs host-routed before the device
+        self.total_inputs = 0
+
+    def snapshot(self) -> dict:
+        return {
+            "device_rows": self.device_rows,
+            "bad_rows": self.bad_rows,
+            "bad_row_fraction": (
+                self.bad_rows / self.device_rows if self.device_rows else 0.0
+            ),
+            "host_pre_inputs": self.host_pre_inputs,
+            "total_inputs": self.total_inputs,
+        }
+
+
+STATS = FallbackStats()
+
+
 def _offset_tables(text: str):
     data = np.frombuffer(text.encode("utf-8"), np.uint8)
     is_start = (data & 0xC0) != 0x80
@@ -167,6 +205,8 @@ class DeviceEngineBase:
                     bad.append(i)
                 else:
                     results[i] = ids[r, : ntok[r]]
+        STATS.device_rows += len(byte_strings)
+        STATS.bad_rows += len(bad)
         return results, bad
 
     def encode_batch(
@@ -194,6 +234,8 @@ class DeviceEngineBase:
                 piece_strings.append(c)
                 piece_owner.append(i)
 
+        STATS.total_inputs += len(inputs)
+        STATS.host_pre_inputs += len(host_idx)
         if piece_strings:
             results, bad = self._run_device(piece_strings)
             bad_inputs = {piece_owner[j] for j in bad}
@@ -250,6 +292,8 @@ class DeviceEngineBase:
                         ends[r, :n],
                         words[r, :n],
                     )
+        STATS.device_rows += len(byte_strings)
+        STATS.bad_rows += len(bad)
         return results, bad
 
     def encode_batch_offsets(
@@ -291,6 +335,8 @@ class DeviceEngineBase:
                 bbase += len(c)
                 cbase += len(c.decode("utf-8"))
 
+        STATS.total_inputs += len(inputs)
+        STATS.host_pre_inputs += len(host_idx)
         if piece_strings:
             results, bad = self._run_device_offsets(piece_strings)
             bad_inputs = {piece_owner[j] for j in bad}

@@ -269,10 +269,10 @@ def merge_round_pallas(
         interpret=interpret,
     )(ids, own_l, own_r, wid, r_in, new_id, mcl_new, mcr_new)
     if R != R0:
-        ids2, own_l2, own_r2 = (
-            ids2[:R0], own_l2[:R0], own_r2[:R0]
+        ids2, own_l2, own_r2, f = (
+            ids2[:R0], own_l2[:R0], own_r2[:R0], f[:R0]
         )
-    return ids2, own_l2, own_r2, jnp.any(f > 0)
+    return ids2, own_l2, own_r2, f > 0
 
 
 _backend_ok = None

@@ -178,7 +178,7 @@ def main():
             ids, ol, orr, more = merge_round(
                 ids, ol, orr, wid2, seg2, rows0, rows1, seed
             )
-            return ids, ol, orr, more, n + 1
+            return ids, ol, orr, jnp.any(more), n + 1
 
         def cond2(state):
             return state[3]
