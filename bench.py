@@ -51,7 +51,10 @@ sys.path.insert(0, REPO)
 CORPUS = os.path.join(REPO, "tests/fixtures/corpus.txt")
 FIXTURES = {
     "gpt2": os.path.join(REPO, "tests/fixtures/gpt2/tokenizer.json"),
-    "llama3": os.path.join(REPO, "tests/fixtures/llama3/tokenizer.json"),
+    # BASELINE config #5 is Llama-3 at its real scale: 128k-vocab
+    # byte-level BPE (tests/fixtures/llama3_128k, trained on a 48MB
+    # corpus; ids bit-exact vs the reference wheel)
+    "llama3": os.path.join(REPO, "tests/fixtures/llama3_128k/tokenizer.json"),
     "bert": os.path.join(REPO, "tests/fixtures/bert/tokenizer.json"),
     "unigram": os.path.join(REPO, "tests/fixtures/unigram/tokenizer.json"),
 }

@@ -1,12 +1,14 @@
 """Multi-process runtime actually executed: 2 CPU processes, localhost
 coordinator, 4 virtual devices each -> an 8-device global mesh, driving
-`runtime.initialize` + the trainer's count-reduction step (`psum` over the
-'data' axis) with per-process shards.
+the REAL distributed paths (not a toy psum):
 
-This exercises the SURVEY §2.9 distributed path end-to-end: process
-bootstrap, global mesh construction across processes, deterministic
-cross-process reduction (both processes must compute identical reduced
-counts, equal to the host sum of all shards)."""
+  1. the dense BPE trainer (`ops/bpe_train_dense.py`) over the global
+     cross-process mesh — merges must equal the single-process host
+     trainer bit-for-bit (SURVEY §2.9: `models/bpe/trainer.rs:378-418`
+     mapped to psum'd dense counts);
+  2. a sharded batch encode through the gpt2 device engine
+     (`parallel/encode.py`) — ids must equal the host pipeline's.
+"""
 
 import os
 import socket
@@ -26,7 +28,6 @@ sys.path.insert(0, repo)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-# the persistent compile cache is process-shared; harmless on CPU it's off
 import jax
 jax.config.update("jax_platforms", "cpu")
 
@@ -44,38 +45,63 @@ assert len(jax.devices()) == 8, len(jax.devices())
 mesh = runtime.build_mesh(("data",))
 assert mesh.devices.size == 8
 
-# the trainer's count-reduction step: per-shard pair counts psum'd over
-# the mesh (ops/bpe_train_step.py semantics in miniature)
+# ---- 1. dense BPE trainer on the cross-process mesh ---------------------
+from tokenizers_tpu.models import BPE
+from tokenizers_tpu.parallel.bpe_train import DistributedBpeTrainer
+from tokenizers_tpu.pre_tokenizers import Whitespace
+from tokenizers_tpu.trainers.bpe_trainer import BpeTrainer
+
+text = open(os.path.join(repo, "tests/fixtures/corpus.txt"),
+            encoding="utf-8").read()[:40_000]
+pt = Whitespace()
+words = {}
+for line in text.splitlines():
+    for w, _ in pt.pre_tokenize_str(line):
+        words[w] = words.get(w, 0) + 1
+
+def train(trainer):
+    model = BPE()
+    trainer.words.update(words)
+    trainer.train(model)
+    return model
+
+host = train(BpeTrainer(vocab_size=200, show_progress=False))
+dist = train(DistributedBpeTrainer(vocab_size=200, show_progress=False,
+                                   mesh=mesh))
+assert host.merges_list == dist.merges_list, (
+    host.merges_list[:5], dist.merges_list[:5])
+assert host.vocab == dist.vocab
+print(f"proc {proc_id}: dense trainer ok ({len(dist.merges_list)} merges)",
+      flush=True)
+
+# ---- 2. sharded encode through the device engine ------------------------
+# (shard_encode_batch's np.asarray needs fully-addressable arrays, so
+# replicate the global outputs through a jit before fetching)
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
+from tokenizers_tpu.parallel.encode import shard_encode_batch_arrays
+from tokenizers_tpu.tokenizer import Tokenizer
 
-V = 16
-# per-process local data: 4 local shards of a [8, V] global count array
-rows = np.arange(8 * V, dtype=np.int32).reshape(8, V)
-global_counts = jax.make_array_from_process_local_data(
-    NamedSharding(mesh, P("data")), rows[proc_id * 4 : (proc_id + 1) * 4]
-)
-
-def body(c):
-    return jax.lax.psum(c, "data")
-
-reduced = jax.jit(
-    shard_map(
-        body, mesh=mesh, in_specs=P("data"), out_specs=P()
-    )
-)(global_counts)
-local = np.asarray(
-    [s.data for s in reduced.addressable_shards][0]
-).reshape(-1)
-expect = rows.sum(axis=0).astype(np.int32)
-np.testing.assert_array_equal(local[:V], expect)
-
-# 2-D hybrid mesh construction across the two processes
-mesh2 = runtime.build_mesh(("hosts", "data"))
-assert mesh2.devices.shape[0] in (1, 2)
-
-print(f"proc {proc_id}: psum ok, first={int(local[0])}", flush=True)
+tok = Tokenizer.from_file(
+    os.path.join(repo, "tests/fixtures/gpt2/tokenizer.json"))
+eng = tok._get_device_engine()
+assert eng is not None
+batch = [
+    "hello world", "the quick brown fox", "don't stop me now",
+    "a b c d e f g", "tokenizers on meshes", "one more line",
+    "and another one", "the last one here",
+]
+repl = NamedSharding(mesh, P())
+replicate = jax.jit(lambda x: x, out_shardings=repl)
+got = [None] * len(batch)
+for ids, ntok, orig in shard_encode_batch_arrays(eng, batch, mesh):
+    ids = np.asarray(jax.device_get(replicate(ids)))
+    ntok = np.asarray(jax.device_get(replicate(ntok)))
+    for r, i in enumerate(orig):
+        got[i] = ids[r, : ntok[r]].tolist()
+expect = [tok._encode(s, None, True, "none").ids for s in batch]
+assert got == expect, (got[0], expect[0])
+print(f"proc {proc_id}: sharded encode ok", flush=True)
 """
 
 
@@ -109,7 +135,7 @@ def test_two_process_distributed(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -117,4 +143,5 @@ def test_two_process_distributed(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-        assert "psum ok" in out, out[-3000:]
+        assert "dense trainer ok" in out, out[-3000:]
+        assert "sharded encode ok" in out, out[-3000:]

@@ -273,6 +273,7 @@ def dedup_finish(
     ww_seed=0,
     cache_state=None,
     encode_fn=None,
+    ladder_depth=2,
 ):
     """The fast branch: encode unique words, expand to per-row output.
 
@@ -409,7 +410,7 @@ def dedup_finish(
         ids0 = jnp.where(word_is_hit & ~uhead, -1, ids0)
 
     ids_u, wid_u2, bad_m, _ = run_merge_phases(
-        ids0, wid_u, rows0, rows1, seed, mclr
+        ids0, wid_u, rows0, rows1, seed, mclr, ladder_depth=ladder_depth
     )
     # compaction overflow is per UNIQUE-BUFFER row ([ru] from `compact`);
     # broadcast it to position granularity so _finish_expand's word-level
@@ -506,12 +507,12 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
         wbad_u = jnp.zeros_like(tcnt_u)
     # ---- token storage: batch-local buffer, or the persistent cache --
     ok_ins = jnp.bool_(True) if word_level_bad else ~jnp.any(bad_m)
+    # dense alive-token stream via butterfly left-pack (tpos IS its prefix
+    # sum) — the flat scatters this replaces measured ~5x the route at
+    # bench scale (PERF.md r4)
+    (utoks2d,), new_tok = _cl((ids_u,), alive, (-1,), wrap=True)
+    utoks = utoks2d.reshape(-1)[:UF2]
     if cache_state is None:
-        utoks = (
-            jnp.full((UF2 + 1,), -1, jnp.int32)
-            .at[jnp.where(alive.reshape(-1), tpos.reshape(-1), UF2)]
-            .set(ids_u.reshape(-1))[:UF2]
-        )
         tok_src = utoks
         tok_base = jnp.int32(0)
         src_cap = UF2
@@ -520,15 +521,26 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
         crows, cbuf, p = cache_state
         Sc = crows.shape[0]
         CAP = cbuf.shape[0] - 1
-        # append this batch's merged tokens
-        ttgt = jnp.where(
-            alive & ok_ins, jnp.minimum(p + tpos, CAP), CAP
-        ).reshape(-1)
-        cbuf = cbuf.at[ttgt].set(ids_u.reshape(-1))
+        # append this batch's merged tokens: the dense stream drops into
+        # the cache buffer as one dynamic-slice window write (the epoch
+        # reset in the caller guarantees p + UF2 <= CAP)
+        if UF2 <= CAP + 1:
+            start = jnp.clip(p, 0, CAP + 1 - UF2)
+            win = jax.lax.dynamic_slice(cbuf, (start,), (UF2,))
+            wi = jnp.arange(UF2, dtype=jnp.int32)
+            keep = (wi < new_tok) & ok_ins
+            cbuf = jax.lax.dynamic_update_slice(
+                cbuf, jnp.where(keep, utoks, win), (start,)
+            )
+        else:  # cache smaller than one chunk's tokens: scatter (unused
+            # by the shipped engines; WC_CAP >> any chunk)
+            ttgt = jnp.where(
+                alive & ok_ins, jnp.minimum(p + tpos, CAP), CAP
+            ).reshape(-1)
+            cbuf = cbuf.at[ttgt].set(ids_u.reshape(-1))
         tok_src = cbuf
         tok_base = p
         src_cap = CAP
-        new_tok = jnp.sum(alive.astype(jnp.int32))
 
     # ---- expand to per-row packed output -----------------------------
     pair = jnp.stack([t0_u, tcnt_u, wbad_u], axis=-1)  # [nw_cap, 3]

@@ -443,7 +443,7 @@ def _encode_core(
             hashes=hashes,
         )
 
-        def make_branch_fast(g):
+        def make_branch_fast(g, ladder_depth=2):
             def branch_fast(dops):
                 r = dedup_finish(
                     dops,
@@ -460,6 +460,7 @@ def _encode_core(
                     ww_rows1=ww_rows1,
                     ww_seed=ww_seed,
                     cache_state=cstate,
+                    ladder_depth=ladder_depth,
                 )
                 return r if word_cache else (r, ())
 
@@ -468,9 +469,12 @@ def _encode_core(
         branch_fast = make_branch_fast(geom)
 
         def branch_full(dops):
+            # rare fallback: ladder_depth=0 keeps the compiled program
+            # small (the r4 2-rung ladder doubled the serialized scan
+            # program to 125MB with the ladder in every branch)
             ids, _w, bad2, _o = run_merge_phases(
                 make_ids0(), word_id, merge_rows0, merge_rows1, seed,
-                merge_mclr,
+                merge_mclr, ladder_depth=0,
             )
             alive = ids >= 0
             k = jnp.cumsum(alive.astype(jnp.int32), axis=1) - 1
@@ -498,7 +502,8 @@ def _encode_core(
             # the same contract row_bad always had
             geom_big = buffer_geometry(B * L, denom=2)
             fits_big = layout_fits(dops, geom_big)
-            branch_big = make_branch_fast(geom_big)
+            # rare overflow branch: plain while tail (program size)
+            branch_big = make_branch_fast(geom_big, ladder_depth=0)
 
             def branch_host(dops):
                 r = (

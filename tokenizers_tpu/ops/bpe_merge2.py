@@ -262,7 +262,11 @@ def _round(ids, own_l, own_r, wid, seg, rows0, rows1, seed, k_steps=FILL_K):
     The Pallas path always uses the full fill depth: deeper fills are a
     few extra VMEM shifts inside an already-fused kernel (shallow k only
     pays off for the op-count-bound lax path), and one (shape, k) variant
-    per width keeps the Mosaic compile count down."""
+    per width keeps the Mosaic compile count down.  (r4 re-measured this
+    IN-PROGRAM: swapping the rounds to shallow-k lax regressed the merge
+    stage 31.6 -> 70 ms/chunk — isolated A/B loops had said they were
+    equal, but per-call dispatch overhead ~2.5 ms/iter on this tunneled
+    backend poisons isolated microbenches; trust whole-program prefixes.)"""
     from .merge_pallas import merge_round_pallas, supported, use_pallas
 
     if use_pallas() and supported(ids.shape):
@@ -330,7 +334,7 @@ def _g_excl_cumsum(x):
 
 
 def _tail_ladder(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
-                 obp=None):
+                 obp=None, depth=2):
     """Data-dependent merge tail, on a buffer sized to the ACTIVE words.
 
     After the 12 scheduled rounds, almost every word is finished: measured
@@ -354,19 +358,52 @@ def _tail_ladder(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
          (monotone: compaction and in-place merges both preserve order).
 
     Returns (ids, obp') at w3 shapes.  `obp` (original byte positions for
-    the offsets path) rides the compaction and the route back."""
+    the offsets path) rides the compaction and the route back.
+
+    `depth` rungs recurse: each compacts the still-active words into a
+    buffer with 1/8 the rows and continues there, so round cost tracks the
+    geometric decay of active tokens (measured ~0.55x/round) instead of
+    staying at the scheduled width.  depth=0 is the plain while tail —
+    used by the rare overflow branches to keep their compiled size down."""
+    return _ladder_rung(
+        ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed, obp=obp,
+        depth=depth,
+    )
+
+
+def _ladder_rung(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
+                 obp=None, depth=0):
     B3, C3 = ids.shape
-    R4 = max(B3 // 16, 1)
+    R4 = max(B3 // 8, 2)
     C4 = C3
     slack = min(WORD_CAP, C4 // 2)
     C4eff = C4 - slack
     CAP4 = R4 * C4eff
+    last = depth == 0 or R4 >= B3
 
     def act_stats(ids_, f_):
         alive_ = ids_ >= 0
         act = alive_ & _word_any(f_ & alive_, seg3)
         return act, jnp.sum(act.astype(jnp.int32))
 
+    if last:
+        # bottom rung: plain rounds until dry
+        def cond(st):
+            return st[3]
+
+        def body(st):
+            ids_, ol_, orr_, _ = st
+            a, l, r, f2 = _round(
+                ids_, ol_, orr_, wid3, seg3, rows0, rows1, seed
+            )
+            return a, l, r, jnp.any(f2)
+
+        ids, own_l, own_r, _ = jax.lax.while_loop(
+            cond, body, (ids, own_l, own_r, jnp.any(f))
+        )
+        return ids, obp
+
+    # rounds at this width while the active set is too big for the next rung
     def cond3(st):
         return jnp.any(st[3]) & (st[4] > CAP4)
 
@@ -412,19 +449,13 @@ def _tail_ladder(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
     ids4, ol4, orr4, gw4, home4 = routed[:5]
     obp4 = routed[5] if obp is not None else None
     ids4 = jnp.where(live4, ids4, -1)
-    seg4 = _seg_of(jnp.where(live4, gw4, -1))
+    gw4 = jnp.where(live4, gw4, -1)
+    seg4 = _seg_of(gw4)
 
-    # ---- rounds until dry ---------------------------------------------
-    def cond4(st):
-        return st[3]
-
-    def body4(st):
-        ids_, ol_, orr_, _ = st
-        a, l, r, f4 = _round(ids_, ol_, orr_, gw4, seg4, rows0, rows1, seed)
-        return a, l, r, jnp.any(f4)
-
-    ids4, ol4, orr4, _ = jax.lax.while_loop(
-        cond4, body4, (ids4, ol4, orr4, jnp.any(live4))
+    # ---- recurse: rounds at 1/8 rows (and below) until dry -------------
+    ids4, obp4 = _ladder_rung(
+        ids4, ol4, orr4, live4, gw4, seg4, rows0, rows1, seed,
+        obp=obp4, depth=depth - 1,
     )
 
     # ---- route finished tokens back to their home positions ------------
@@ -445,7 +476,8 @@ def _tail_ladder(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
 
 
 def run_merge_phases(
-    ids, wid, rows0, rows1, seed, mclr, phase1_rounds=4, obp=None, k_min=1
+    ids, wid, rows0, rows1, seed, mclr, phase1_rounds=4, obp=None, k_min=1,
+    ladder_depth=2,
 ):
     """Full merge to completion: fixed rounds at input width (growing fill
     depths — round r's gaps are < 2^r), compact to half width, then loop
@@ -478,37 +510,18 @@ def run_merge_phases(
     the same contract the single W/2 compaction always had."""
     B, W = ids.shape
 
-    from .merge_pallas import on_accelerator
-
-    accel = on_accelerator()
-
     own_l, own_r = init_own(ids, mclr)
     seg = _seg_of(wid)
-    if accel:
-        # accelerator rounds are fill-depth-invariant (the Pallas kernel
-        # always fills to FILL_K; the lax fallback at FILL_K is bit-equal),
-        # so fixed rounds roll into a fori_loop — the round body compiles
-        # ONCE per width instead of once per round, which cuts the XLA
-        # program (and the remote compile helper's memory) by ~4x per
-        # phase.  The unrolled shallow-fill schedule below stays the CPU
-        # path, where per-op cost makes shallow fills worthwhile.
-        def mk_body(widv, segv):
-            def body(_, st):
-                ids, ol, orr, _f = st
-                return _round(ids, ol, orr, widv, segv, rows0, rows1, seed)
-
-            return body
-
-        ids, own_l, own_r, f = jax.lax.fori_loop(
-            0, phase1_rounds, mk_body(wid, seg),
-            (ids, own_l, own_r, jnp.zeros(ids.shape, bool)),
+    # growing fill depths: round r from a dense start has gaps < 2^r, so
+    # depth r+1 is exact; the fills dominate a round's element passes
+    # (~6 fills x k steps), so shallow early rounds are ~2x the round
+    # throughput of fixed FILL_K.  One backend-independent schedule: the
+    # CPU tests exercise exactly the program the TPU runs.
+    for r in range(phase1_rounds):
+        ids, own_l, own_r, f = _round(
+            ids, own_l, own_r, wid, seg, rows0, rows1, seed,
+            k_steps=min(FILL_K, max(r + 1, k_min)),
         )
-    else:
-        for r in range(phase1_rounds):
-            ids, own_l, own_r, f = _round(
-                ids, own_l, own_r, wid, seg, rows0, rows1, seed,
-                k_steps=min(FILL_K, max(r + 1, k_min)),
-            )
 
     def _round_width(frac_num, frac_den):
         # generous widths: token decay after 4 rounds averages ~0.37 on
@@ -528,37 +541,25 @@ def run_merge_phases(
     own_l, own_r = extras[0], extras[1]
     seg2 = _seg_of(wid2)
 
-    if accel:
-        ids, own_l, own_r, f = jax.lax.fori_loop(
-            0, 4, mk_body(wid2, seg2),
-            (ids, own_l, own_r, jnp.zeros(ids.shape, bool)),
+    for r in range(2):
+        ids, own_l, own_r, f = _round(
+            ids, own_l, own_r, wid2, seg2, rows0, rows1, seed,
+            k_steps=min(FILL_K, r + 1),
         )
-    else:
-        for r in range(4):
-            ids, own_l, own_r, f = _round(
-                ids, own_l, own_r, wid2, seg2, rows0, rows1, seed,
-                k_steps=min(FILL_K, r + 1),
-            )
     w3 = _round_width(1, 2)
     extras = (own_l, own_r) + extras[2:]
     ids, wid3, bad3, extras = compact(ids, wid2, w3, extras)
     own_l, own_r = extras[0], extras[1]
     bad = bad | bad3
     seg3 = _seg_of(wid3)
-    if accel:
-        ids, own_l, own_r, f = jax.lax.fori_loop(
-            0, 4, mk_body(wid3, seg3),
-            (ids, own_l, own_r, jnp.zeros(ids.shape, bool)),
+    for r in range(2):
+        ids, own_l, own_r, f = _round(
+            ids, own_l, own_r, wid3, seg3, rows0, rows1, seed,
+            k_steps=min(FILL_K, r + 1),
         )
-    else:
-        for r in range(4):
-            ids, own_l, own_r, f = _round(
-                ids, own_l, own_r, wid3, seg3, rows0, rows1, seed,
-                k_steps=min(FILL_K, r + 1),
-            )
 
     ids, obp2 = _tail_ladder(
         ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
-        obp=extras[2] if obp is not None else None,
+        obp=extras[2] if obp is not None else None, depth=ladder_depth,
     )
     return ids, wid3, bad, obp2
