@@ -45,6 +45,16 @@ import time
 
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "true")
 
+# big-program XLA compiles recurse deeply; 8MB default stacks segfault
+# (see tests/conftest.py) — raise before the backend spawns threads
+try:
+    import resource
+
+    _hard = resource.getrlimit(resource.RLIMIT_STACK)[1]
+    resource.setrlimit(resource.RLIMIT_STACK, (256 << 20, _hard))
+except Exception:
+    pass
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 

@@ -1,5 +1,18 @@
 import os
 
+# XLA:CPU compiles of the big scan programs recurse deeply; the default
+# 8MB stack intermittently segfaults xdist workers ("node down: Not
+# properly terminated" on tests that pass alone).  Raise it BEFORE the
+# backend spawns its compile threads (pthread stacks snapshot the rlimit
+# at creation).
+import resource
+
+try:
+    _hard = resource.getrlimit(resource.RLIMIT_STACK)[1]
+    resource.setrlimit(resource.RLIMIT_STACK, (256 << 20, _hard))
+except (ValueError, OSError):
+    pass
+
 # Multi-chip tests run on a virtual 8-device CPU mesh.
 #
 # The container pins JAX_PLATFORMS=axon (one tunneled TPU chip) and its

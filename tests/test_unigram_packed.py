@@ -63,8 +63,11 @@ def test_packed_matches_dense(with_offsets):
         d_bad, p_bad = np.asarray(d_bad), np.asarray(p_bad)
         for r in range(len(orig)):
             if d_bad[r] or p_bad[r]:
-                # both paths must agree on host-fallback rows
-                assert bool(d_bad[r]) == bool(p_bad[r]), (r, lines[orig[r]])
+                # packed capacity (PACK_SLACK bytes/word) is tighter than
+                # the dense path's BT_CAP chars: packed may flag rows the
+                # dense path handles, never the reverse
+                assert bool(p_bad[r]) or not bool(d_bad[r]), (
+                    r, lines[orig[r]])
                 continue
             assert d_ntok[r] == p_ntok[r], (r, lines[orig[r]])
             n = d_ntok[r]

@@ -52,12 +52,23 @@ H1_MULT = np.uint32(0x01000193)
 H2_MULT = np.uint32(0x0000C597)
 
 
-def buffer_geometry(bl, denom=4):
+def buffer_geometry(bl, denom=None):
     """Static sizes: word-table [Wr, Wc] and unique buffer [Ru, UC].
 
     `denom` scales the unique-buffer capacity (~bl/denom bytes); the word
     table is always sized for bl/4 words so `dedup_layout` results can be
-    shared between buffer sizes."""
+    shared between buffer sizes.
+
+    Default denom is occupancy-aware: 8 (12.5% of chunk bytes) at bench
+    scale — every merge round runs over the whole [Ru, UC] buffer, so
+    capacity is round cost, and measured worst-case unique-word bytes on
+    2MB chunks are 6.8% (bench corpus) / 8.4% (word-shuffled, killing
+    cross-row dedup) — but 4 for small (<1M-position) chunks, where
+    cross-row dedup is weak (a 16-doc chunk measured ~50% unique bytes)
+    and capacity, not round cost, dominates.  Chunks that overflow
+    (dedup-poor text) cascade to the denom=2 big branch / host."""
+    if denom is None:
+        denom = 8 if bl >= (1 << 20) else 4
     raw = max(bl // 4, 1 << 10)
     wc = min(4096, 1 << (raw.bit_length() - 1))
     nw_cap = -(-raw // wc) * wc
@@ -95,6 +106,37 @@ def _fill_last(vals, isset):
 def _seg_count_op(a, b):
     (v1, f1), (v2, f2) = a, b
     return jnp.where(f2, v2, v1 + v2), f1 | f2
+
+
+def _fill_last_wrap(vals, isset):
+    """Row-major (global) `_fill_last` over a [R, C] array: per position,
+    the last value at-or-before it IN ROW-MAJOR ORDER where `isset` (0
+    where none).  One per-row scan + a [R]-sized cross-row carry — for
+    segments that span table-row boundaries (e.g. an output row's words
+    wrapping across word-table rows)."""
+    vr, sr = _fill_last(vals, isset)
+    lastv = [v[:, -1] for v in vr]
+    lasts = sr[:, -1]
+
+    def op(a, b):
+        s2 = b[-1]
+        return tuple(
+            jnp.where(s2, vb, va) for va, vb in zip(a[:-1], b[:-1])
+        ) + (a[-1] | s2,)
+
+    # exclusive cross-row carry: last set value among rows < r
+    sh = tuple(
+        jnp.concatenate([jnp.zeros((1,), v.dtype), v[:-1]]) for v in lastv
+    )
+    sh_s = jnp.concatenate([jnp.zeros((1,), bool), lasts[:-1]])
+    out = jax.lax.associative_scan(
+        op, tuple(jnp.where(sh_s, v, 0) for v in sh) + (sh_s,), axis=0
+    )
+    carry_v, carry_s = out[:-1], out[-1]
+    filled = tuple(
+        jnp.where(sr, v, cv[:, None]) for v, cv in zip(vr, carry_v)
+    )
+    return filled, sr | carry_s[:, None]
 
 
 def word_hash_heads(b, bnd, inb, mult):
@@ -183,8 +225,11 @@ def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=None,
     S = 1 << max(14, int(nw_cap - 1).bit_length())
     slot = hash_jnp(wh1, wh2, seed ^ 0x5BD1, S - 1, 0)
     slot = jnp.where(wvalid, slot, S).reshape(-1)
-    tbl = jnp.full((S + 1,), INF, jnp.int32).at[slot].min(widx2.reshape(-1))
-    winner = tbl[slot].reshape(wr, wc)
+    # +8 (not +1) dump tail so the read back is a width-8 ROW gather
+    tbl = jnp.full((S + 8,), INF, jnp.int32).at[slot].min(widx2.reshape(-1))
+    from .merge_table import take_row8
+
+    winner = take_row8(slot, tbl).reshape(wr, wc)
     # winner's (h1, h2) via one row-gather over the re-assembled records
     wrows2 = jnp.stack(
         [wh1.reshape(-1), wh2.reshape(-1)], axis=-1
@@ -409,9 +454,44 @@ def dedup_finish(
         ids0 = jnp.where(uhead & ww_hit, stored_id, ids0)
         ids0 = jnp.where(word_is_hit & ~uhead, -1, ids0)
 
-    ids_u, wid_u2, bad_m, _ = run_merge_phases(
-        ids0, wid_u, rows0, rows1, seed, mclr, ladder_depth=ladder_depth
-    )
+    # Occupancy slice: every merge round costs the WHOLE [ru, uc] buffer,
+    # but unique words pack densely from row 0 (uoff is a global cumsum),
+    # so on typical text only the first few rows are occupied (measured
+    # ~60k of 270k positions on the bench corpus).  When the unique bytes
+    # fit the first ru/2 rows, run the merge phases on that static slice
+    # and pad the dead rows back — halving merge cost; dedup-poor chunks
+    # take the full-buffer branch (ladder_depth=0 for program size).
+    ru_h = ru // 2
+    if ru_h >= 2 and ru > 4:
+        fits_half = total_u <= ru_h * uceff
+
+        def m_half(args):
+            i0, w0_ = args
+            a, w, bad, _ = run_merge_phases(
+                i0[:ru_h], w0_[:ru_h], rows0, rows1, seed, mclr,
+                ladder_depth=ladder_depth,
+            )
+            uc2 = a.shape[1]
+            pad = ru - ru_h
+            a = jnp.concatenate([a, jnp.full((pad, uc2), -1, a.dtype)])
+            w = jnp.concatenate([w, jnp.full((pad, uc2), -1, w.dtype)])
+            bad = jnp.concatenate([bad, jnp.zeros((pad,), bad.dtype)])
+            return a, w, bad
+
+        def m_full(args):
+            i0, w0_ = args
+            a, w, bad, _ = run_merge_phases(
+                i0, w0_, rows0, rows1, seed, mclr, ladder_depth=0
+            )
+            return a, w, bad
+
+        ids_u, wid_u2, bad_m = jax.lax.cond(
+            fits_half, m_half, m_full, (ids0, wid_u)
+        )
+    else:
+        ids_u, wid_u2, bad_m, _ = run_merge_phases(
+            ids0, wid_u, rows0, rows1, seed, mclr, ladder_depth=ladder_depth
+        )
     # compaction overflow is per UNIQUE-BUFFER row ([ru] from `compact`);
     # broadcast it to position granularity so _finish_expand's word-level
     # machinery confines the damage to input rows whose words live in the
@@ -425,11 +505,14 @@ def dedup_finish(
 
 
 def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
-                   cache_state):
+                   cache_state, stop_at=None):
     """Expansion tail of `dedup_finish`: per-unique-word token counts,
     token storage (batch-local or persistent cache), and the routed
     per-input-row packed output — encoder-agnostic (shared by the BPE
-    merge and the WordPiece longest-match encoders)."""
+    merge and the WordPiece longest-match encoders).
+
+    `stop_at` (static; profiling only — tools/profile_expand.py): return
+    a checksum after the named sub-stage instead of the real outputs."""
     nw_cap, wc, uc, uceff, ru = geom
     wr = nw_cap // wc
     (
@@ -486,8 +569,12 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
             )
         return flat[:nw_cap]
 
+    if stop_at == "segs":
+        return jnp.sum(tpos) + jnp.sum(is_last.astype(jnp.int32))
     tcnt_u = per_word(is_last, k_in)
     t0_u = per_word(is_first, tpos)
+    if stop_at == "stats":
+        return jnp.sum(tcnt_u) + jnp.sum(t0_u)
     if word_level_bad:
         # word-total of the flag (forward + reverse inclusive segment
         # sums cover flags after the word's last token), read at the
@@ -542,12 +629,20 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
         tok_base = p
         src_cap = CAP
 
+    if stop_at == "stream":
+        return jnp.sum(utoks) + new_tok
     # ---- expand to per-row packed output -----------------------------
     pair = jnp.stack([t0_u, tcnt_u, wbad_u], axis=-1)  # [nw_cap, 3]
     # wid_u2 counts heads in buffer order == the representative's unique
     # order among *merged* (uncached) representatives.
     uord = g_excl_cumsum(in_buf.astype(jnp.int32))
-    uord_of_rep = uord.reshape(-1)[jnp.clip(rep, 0, nw_cap - 1).reshape(-1)]
+    # flat 512k-index gather -> width-8 row gather + lane select
+    # (row gathers cost per ROW on this backend; PERF.md)
+    from .merge_table import take_row8
+
+    uord_of_rep = take_row8(
+        jnp.clip(rep, 0, nw_cap - 1).reshape(-1), uord.reshape(-1)
+    )
     pr = pair[jnp.clip(uord_of_rep, 0, nw_cap - 1)].reshape(wr, wc, 3)
     # hit words read from the cache rows; merged words from this batch's
     # freshly appended span (tok_base + local offset)
@@ -558,6 +653,8 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
     # host-fallback, and it must never enter the cache
     dropped = wvalid & ~hit & (pr[..., 1] == 0) & (wlen_w > 0)
     wbad_w = (wvalid & ~hit & (pr[..., 2] > 0)) | dropped
+    if stop_at == "gather":
+        return jnp.sum(t0_w) + jnp.sum(k_w)
 
     if cache_state is not None:
         # register merged representatives (overlong words excluded: their
@@ -590,17 +687,61 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
     )
     rfirst = wvalid & (roww != prevw)
     G = g_excl_cumsum(k_w)
-    t0row = (
-        jnp.zeros((B + 1,), jnp.int32)
-        .at[jnp.where(rfirst.reshape(-1), roww.reshape(-1), B)]
-        .set(G.reshape(-1))[: B + 1]
-    )
-    ooff = G - t0row[jnp.clip(roww, 0, B)]
-    ntok = (
-        jnp.zeros((B + 1,), jnp.int32)
-        .at[jnp.where(wvalid.reshape(-1), roww.reshape(-1), B)]
-        .max((ooff + k_w).reshape(-1))[:B]
-    )
+    import os as _os
+
+    if _os.environ.get("TOKENIZERS_TPU_OLD_OFFS"):  # debug A/B only
+        t0row = (
+            jnp.zeros((B + 1,), jnp.int32)
+            .at[jnp.where(rfirst.reshape(-1), roww.reshape(-1), B)]
+            .set(G.reshape(-1))[: B + 1]
+        )
+        ooff = G - t0row[jnp.clip(roww, 0, B)]
+        ntok = (
+            jnp.zeros((B + 1,), jnp.int32)
+            .at[jnp.where(wvalid.reshape(-1), roww.reshape(-1), B)]
+            .max((ooff + k_w).reshape(-1))[:B]
+        )
+        tie_rows = (
+            jnp.zeros((B + 1,), jnp.int32)
+            .at[jnp.where(wbad_w.reshape(-1), roww.reshape(-1), B)]
+            .max(1)[:B]
+        )
+    else:
+        # ooff = G minus G-at-the-output-row's-first-word, via a row-major
+        # segmented fill (roww is non-decreasing in word-table order) —
+        # replaces the old [B+1] scatter + flat t0row[roww] gather (r4:
+        # ~6 ms/chunk of the expansion stage at bench scale).  The
+        # bad-flag cumsum rides the same fill.
+        badcum = g_excl_cumsum(wbad_w.astype(jnp.int32))
+        (g0, bc0), _ = _fill_last_wrap([G, badcum], rfirst)
+        ooff = G - g0
+        # per-output-row totals read at the row's LAST word (ooff + k_w is
+        # the row-local inclusive token cumsum, so the last word carries
+        # the row total); row badness rides bit 30 of the same single
+        # scatter-set — replacing the old ntok scatter-max AND the
+        # tie_rows scatter-max.  Valid words are a contiguous prefix of
+        # the table, so rlast fires exactly once per non-empty output row
+        # (no duplicate indices).
+        nxt_first = jnp.concatenate(
+            [rfirst.reshape(-1)[1:], jnp.ones((1,), bool)]
+        ).reshape(wr, wc)
+        nxt_valid = jnp.concatenate(
+            [wvalid.reshape(-1)[1:], jnp.zeros((1,), bool)]
+        ).reshape(wr, wc)
+        rlast = wvalid & (nxt_first | ~nxt_valid)
+        row_any_bad = (badcum + wbad_w.astype(jnp.int32) - bc0) > 0
+        val = (ooff + k_w) | jnp.where(
+            row_any_bad, jnp.int32(1) << 30, jnp.int32(0)
+        )
+        packed_row = (
+            jnp.zeros((B + 1,), jnp.int32)
+            .at[jnp.where(rlast.reshape(-1), roww.reshape(-1), B)]
+            .set(jnp.where(rlast, val, 0).reshape(-1))[:B]
+        )
+        ntok = packed_row & ((jnp.int32(1) << 30) - 1)
+        tie_rows = packed_row >> 30
+    if stop_at == "offs":
+        return jnp.sum(ooff) + jnp.sum(ntok)
 
     # word-head records spread to their output positions by a wrap
     # butterfly route (targets are monotone in word-table order); requires
@@ -630,7 +771,11 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
         )
         od0 = ohead[:, 0].reshape(B, out_w)
         oset = (ohead[:, 1] == 1).reshape(B, out_w)
+    if stop_at == "route":
+        return jnp.sum(od0) + jnp.sum(oset.astype(jnp.int32))
     (od,), odset = _fill_last([od0], oset)
+    if stop_at == "fill":
+        return jnp.sum(od) + jnp.sum(odset.astype(jnp.int32))
     opos = jax.lax.broadcasted_iota(jnp.int32, (B, out_w), 1)
     osrc = jnp.clip(od + opos, 0, src_cap - 1)
     in_out = odset & (opos < ntok[:, None])
@@ -664,12 +809,21 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
     ntok = jnp.where(row_over, 0, ntok)
     row_bad = row_over | jnp.broadcast_to(any_bad, (B,))
     # flagged or dropped words -> their input rows re-encode on host
-    tie_rows = (
-        jnp.zeros((B + 1,), jnp.int32)
-        .at[jnp.where(wbad_w.reshape(-1), roww.reshape(-1), B)]
-        .max(1)[:B]
-    )
+    # (tie_rows: bit 30 of the packed per-row scatter above)
     row_bad = row_bad | (tie_rows > 0)
+    if _os.environ.get("TOKENIZERS_TPU_DEBUG_EXPAND"):  # debug only
+        jax.debug.print(
+            "expand: nw={nw} over={o} tie={t} anyb={a} drop={d} wbad={w} "
+            "hit={h} ties_u={tu}",
+            nw=nw,
+            o=jnp.sum(row_over.astype(jnp.int32)),
+            t=jnp.sum((tie_rows > 0).astype(jnp.int32)),
+            a=any_bad.astype(jnp.int32),
+            d=jnp.sum(dropped.astype(jnp.int32)),
+            w=jnp.sum(wbad_w.astype(jnp.int32)),
+            h=jnp.sum(hit.astype(jnp.int32)),
+            tu=jnp.sum(wbad_u.astype(jnp.int32)),
+        )
     if cache_state is None:
         return ids_out, ntok, row_bad
     return (ids_out, ntok, row_bad), new_state

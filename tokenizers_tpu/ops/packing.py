@@ -13,8 +13,15 @@ import numpy as np
 
 MIN_L = 64
 MAX_L = 1 << 17  # strings longer than this fall back to the host path
+import os as _os
+
 POSITION_BUDGET = 1 << 21  # ~2M byte positions per device call (CPU tests)
-ACCEL_POSITION_BUDGET = 1 << 21  # r3: measured element-PASS-bound, not
+# TOKENIZERS_TPU_POSITION_BUDGET: experimentation override (r4) — the r2
+# 8M-position experiment measured +24% throughput but OOM'd the remote
+# compile helper; the r4 slimmer programs may change that tradeoff.
+ACCEL_POSITION_BUDGET = int(
+    _os.environ.get("TOKENIZERS_TPU_POSITION_BUDGET", 1 << 21)
+)  # r3: measured element-PASS-bound, not
 # fixed-overhead-bound — 4x positions bought only ~24% (21->26 MB/s, r2)
 # while the XLA compile grew superlinearly until the remote compile
 # helper was OOM-killed at 8M positions (the real cause of BENCH_r02's

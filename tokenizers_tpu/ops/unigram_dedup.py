@@ -56,7 +56,10 @@ def unigram_geometry(bl):
     """(nw_cap, wc, uc, uceff, ru): word table like `buffer_geometry`,
     unique buffer reshaped for the column-scan DP."""
     nw_cap, wc, _uc, _uceff, _ru = buffer_geometry(bl)
-    uraw = max(bl // 4, 1 << 10)
+    # small chunks dedup poorly (r4: a 16-doc chunk measured ~50% unique
+    # normalized bytes and overflowed the bl/4 buffer -> whole-chunk host
+    # fallback); give them half-of-stream capacity instead
+    uraw = max(bl // (4 if bl >= (1 << 20) else 2), 1 << 10)
     ru = -(-uraw // UD_UCEFF)
     return nw_cap, wc, UD_UC, UD_UCEFF, ru
 

@@ -40,7 +40,8 @@ from .merge_table import hash_jnp
 from .wordpiece_encode import H1_MULT, H2_MULT, _decode_chars
 
 NEG = np.float32(-1e30)
-MAX_TOKENS_PER_WORD = 64  # backtrack iterations; longer words -> host
+MAX_TOKENS_PER_WORD = 64  # dedup-path backtrack bound; longer words -> host
+BT_CAP = 512  # x64-path backtrack cap (while_loop: typical cost ~10 iters)
 
 CLS_KEEP = 0
 CLS_SPACE = 1
@@ -390,9 +391,7 @@ def unigram_program(
         reverse=True,
     )
     wchars = cend - char_idx + 1
-    row_bad = row_bad | jnp.any(
-        wbnd & (wchars > MAX_TOKENS_PER_WORD), axis=1
-    )
+    row_bad = row_bad | jnp.any(wbnd & (wchars > BT_CAP), axis=1)
 
     # ---- stage 4: backtrack via bounded shift steps ----------------------
     # boundary-space arrays [B, L2+1]; jump(q) = node_st[q] (<= K back).
@@ -405,8 +404,12 @@ def unigram_program(
     seed = jnp.concatenate([wbnd, jnp.zeros((B, 1), bool)], axis=1)
     rowsB = jax.lax.broadcasted_iota(jnp.int32, (B, L2 + 1), 0)
     seed = seed.at[jnp.arange(B), total].set(True)
-    def bt_body(_, st):
-        reach, front = st
+    def bt_cond(st):
+        reach, front, i = st
+        return jnp.any(front) & (i < BT_CAP)
+
+    def bt_body(st):
+        reach, front, i = st
         # next front: boundary q - jlen[q] for q in front (jlen <= K;
         # _shift_next(x, d)[i] = x[i+d], i.e. a mark at q lands at q-d)
         nxt = jnp.zeros((B, L2 + 1), bool)
@@ -414,10 +417,15 @@ def unigram_program(
             m = front & (jlen == d)
             nxt = nxt | _shift_next(m, False, d)
         front = nxt & ~reach
-        return reach | front, front
+        return reach | front, front, i + 1
 
-    reach, _ = jax.lax.fori_loop(
-        0, MAX_TOKENS_PER_WORD, bt_body, (seed, seed)
+    # data-dependent trip count: the chain depth is the max tokens in any
+    # word, typically ~10 — a fixed MAX_TOKENS_PER_WORD fori_loop paid 64
+    # rounds ALWAYS and still flagged >64-char words (URLs: 25% of corpus
+    # docs) to the host.  The while form stops when the front empties, so
+    # the cap can be generous (BT_CAP) at no typical-case cost.
+    reach, _, _ = jax.lax.while_loop(
+        bt_cond, bt_body, (seed, seed, jnp.int32(0))
     )
 
     tok = reach & (node_st >= 0) & (jlen > 0)

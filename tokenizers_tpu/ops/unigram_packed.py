@@ -12,13 +12,13 @@ chunk size instead of being capped by scan steps.
 
 The backtrack is one REVERSE scan over the same columns carrying a
 K-boundary window of pending marks (replacing the dense path's
-MAX_TOKENS_PER_WORD x K shift loop), and token output rides monotone
+bounded shift-loop backtrack), and token output rides monotone
 butterfly routes (`ops/route.py`) back to per-input-row order.
 
 Semantics are identical to the dense program (the CPU oracle): same f64
-first-writer-tie DP, same unk fallback + fuse_unk, same guards (words over
-MAX_TOKENS_PER_WORD chars or PACK_SLACK bytes flag their input row for
-host fallback).  Fuzzed against the dense path and the wheel in
+first-writer-tie DP, same unk fallback + fuse_unk; words over PACK_SLACK bytes flag their
+input row for host fallback (a superset of the dense path's BT_CAP-chars
+guard).  Fuzzed against the dense path and the wheel in
 tests/test_device_unigram_engine.py.
 """
 
@@ -35,11 +35,7 @@ from .bpe_dedup import g_excl_cumsum
 from .bpe_merge2 import _shift_next, _shift_prev
 from .merge_table import hash_jnp
 from .route import compact_left, route_to
-from .unigram_encode import (
-    MAX_TOKENS_PER_WORD,
-    NEG,
-    normalize_metaspace,
-)
+from .unigram_encode import NEG, normalize_metaspace
 from .wordpiece_encode import H1_MULT, H2_MULT, _decode_chars
 
 UC = 512  # packed row width = Viterbi scan depth
@@ -100,11 +96,12 @@ def unigram_program_packed(
         op_rfill, (jnp.where(is_last_d, cidx_d, 0), is_last_d), axis=1,
         reverse=True,
     )
-    wchars_d = cend_d - cidx_d + 1
-    row_long = jnp.any(
-        wbnd & ((wlen_d > PACK_SLACK) | (wchars_d > MAX_TOKENS_PER_WORD)),
-        axis=1,
-    )
+    # only the packing slack bounds word size: the reverse-scan backtrack
+    # has no per-word token cap (jumps are bounded by max piece length),
+    # and a word within the byte slack can never exceed the dense path's
+    # BT_CAP chars (chars <= bytes <= PACK_SLACK < BT_CAP) — so packed
+    # bad rows are a superset of the dense path's (capacity-only)
+    row_long = jnp.any(wbnd & (wlen_d > PACK_SLACK), axis=1)
     row_bad = row_bad | row_long
 
     # ---- pack words into [RU, UC] -----------------------------------------

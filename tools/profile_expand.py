@@ -205,6 +205,34 @@ def main():
 
     timeit("+ output expansion (full)", loop(p4), d_buf, d_len)
 
+    def mk_sub(stage):
+        def ps(zi, bytes_u8, lengths):
+            b, dops, ids_u, wid_u2, bad_m = upto_merge(zi, bytes_u8, lengths)
+            if getattr(bad_m, "ndim", 0) == 1 and (
+                bad_m.shape[0] == ids_u.shape[0]
+            ):
+                bad_m = jnp.broadcast_to(bad_m[:, None], ids_u.shape)
+            return dd._finish_expand(
+                ids_u, wid_u2, bad_m, dops, geom, (B, L), out_w, None,
+                stop_at=stage,
+            )
+
+        return ps
+
+    for stage in ("segs", "stats", "stream", "gather", "offs", "route",
+                  "fill"):
+        timeit(f"  expand sub-stage: {stage}", loop(mk_sub(stage)),
+               d_buf, d_len)
+
+    def p5(zi, bytes_u8, lengths):
+        b, fits, dops = upto_layout(zi, bytes_u8, lengths)
+        ids_pk, ntok, bad = dd.dedup_finish(
+            dops, b, byte2id, rows0, rows1, seed, mclr, out_w, geom
+        )
+        return jnp.sum(ntok) + jnp.sum(bad.astype(jnp.int32))
+
+    timeit("REAL dedup_finish (incl merge slice)", loop(p5), d_buf, d_len)
+
 
 if __name__ == "__main__":
     main()
