@@ -144,6 +144,36 @@ def _stage_chunks(eng, docs):
     return staged, nbytes
 
 
+def _stage_groups(eng, docs, ascii_key=None):
+    """Pack docs, group same-(shape, ascii) chunks, and stage each group as
+    ONE stacked [N, B, L] device array — staging happens once, so the timed
+    reps measure the device program, not a per-rep re-stack (r4 weak item:
+    `jnp.stack` inside run() put a 32MB device copy in every rep's
+    denominator)."""
+    import jax
+    import numpy as np
+
+    from tokenizers_tpu.ops.packing import pack_batch
+
+    byte_strings = [eng._prepare(s) for s in docs]
+    nbytes = sum(len(b) for b in byte_strings)
+    raw = {}
+    for buf, lens, _ in pack_batch(byte_strings):
+        ascii_only = bool(
+            isinstance(buf, np.ndarray) and buf.max(initial=0) < 128
+        )
+        if ascii_key is not None:
+            ascii_only = ascii_key(ascii_only)
+        raw.setdefault((buf.shape, ascii_only), []).append((buf, lens))
+    groups = []
+    for (shape, ascii_only), items in sorted(raw.items()):
+        bufs = jax.device_put(np.stack([b for b, _ in items]))
+        lens = jax.device_put(np.stack([l for _, l in items]))
+        groups.append((bufs, lens, ascii_only, shape))
+    jax.block_until_ready([g[0] for g in groups])
+    return groups, nbytes
+
+
 LAST_WARMUP_S = 0.0  # compile+first-run time of the last _time_reps call
 LAST_FALLBACK_PCT = None  # % of device rows flagged row_bad in the last run
 
@@ -212,11 +242,7 @@ def bench_bpe_scan(name, word_cache, _retry=True, time_budget=45.0):
     assert eng is not None, f"{name}: device engine failed to build"
 
     docs = build_docs()
-    staged, nbytes = _stage_chunks(eng, docs)
-    # group same-(shape, ascii) chunks for the scan program
-    groups = {}
-    for b, l, ascii_only, shape in staged:
-        groups.setdefault((shape, ascii_only), []).append((b, l))
+    groups, nbytes = _stage_groups(eng, docs)
     kwargs = eng._program_args()
 
     @jax.jit
@@ -229,9 +255,7 @@ def bench_bpe_scan(name, word_cache, _retry=True, time_budget=45.0):
         acc = jnp.int32(0)
         accb = jnp.int32(0)
         rows = 0
-        for (shape, ascii_only), items in groups.items():
-            bufs = jnp.stack([b for b, _ in items])
-            lens = jnp.stack([l for _, l in items])
+        for bufs, lens, ascii_only, shape in groups:
             if word_cache:
                 st = eng._ensure_cache()
                 ids, ntok, bad, st2 = encode_program_scan(
@@ -278,12 +302,10 @@ def bench_wordpiece_scan(time_budget=45.0):
     assert eng is not None, "bert: device engine failed to build"
 
     docs = build_docs()
-    staged, nbytes = _stage_chunks(eng, docs)
-    groups = {}
-    for b, l, ascii_only, shape in staged:
-        groups.setdefault((shape, ascii_only and eng.ascii_ok), []).append(
-            (b, l)
-        )
+    groups, nbytes = _stage_groups(
+        eng, docs, ascii_key=lambda a: a and eng.ascii_ok
+    )
+
     kwargs = eng._dedup_args()
 
     @jax.jit
@@ -298,10 +320,8 @@ def bench_wordpiece_scan(time_budget=45.0):
         acc = jnp.int32(0)
         accb = jnp.int32(0)
         rows = 0
-        for (shape, dedup_ok), items in groups.items():
-            if dedup_ok and len(items) > 1:
-                bufs = jnp.stack([b for b, _ in items])
-                lens = jnp.stack([l for _, l in items])
+        for bufs, lens, dedup_ok, shape in groups:
+            if dedup_ok:
                 st = eng._ensure_cache()
                 ids, ntok, bad, st2 = wordpiece_dedup_scan(
                     bufs, lens, word_cache=True, cache_rows=st[0],
@@ -312,8 +332,8 @@ def bench_wordpiece_scan(time_budget=45.0):
                 accb = reduce_out(accb, bad.astype(jnp.int32))
                 rows += int(np.prod(bad.shape))
             else:
-                for b, l in items:
-                    ids, ntok, bad = eng._run(b, l, False)
+                for k in range(bufs.shape[0]):
+                    ids, ntok, bad = eng._run(bufs[k], lens[k], False)
                     acc = reduce_out(acc, ntok)
                     accb = reduce_out(accb, bad.astype(jnp.int32))
                     rows += int(np.prod(bad.shape))
@@ -339,17 +359,14 @@ def bench_unigram_scan(time_budget=45.0):
     assert eng is not None, "unigram: device engine failed to build"
 
     docs = build_docs()
-    staged, nbytes = _stage_chunks(eng, docs)
-    groups = {}
-    for b, l, _ascii, shape in staged:
-        groups.setdefault(shape, []).append((b, l))
+    groups, nbytes = _stage_groups(eng, docs, ascii_key=lambda a: False)
     kwargs = eng._dedup_args()
 
     @jax.jit
     def reduce_out(acc, ntok):
         return acc + jnp.sum(ntok)
 
-    fb = {"bad": 0, "rows": 0}
+    fb = {"bad": 0, "rows": 0, "patched": 0}
 
     def run():
         import numpy as np
@@ -357,11 +374,10 @@ def bench_unigram_scan(time_budget=45.0):
         acc = jnp.int32(0)
         accb = jnp.int32(0)
         rows = 0
-        for shape, items in groups.items():
-            bufs = jnp.stack([b for b, _ in items])
-            lens = jnp.stack([l for _, l in items])
+        fb["patched"] = 0
+        for bufs, lens, _ascii, shape in groups:
             st = eng._ensure_cache()
-            ids, ntok, bad, st2 = unigram_dedup_scan(
+            ids, ntok, bad, _ptab, nflag, st2 = unigram_dedup_scan(
                 bufs, lens, word_cache=True, cache_rows=st[0],
                 cache_buf=st[1], cache_p=st[2], **kwargs,
             )
@@ -369,6 +385,7 @@ def bench_unigram_scan(time_budget=45.0):
             acc = reduce_out(acc, ntok)
             accb = reduce_out(accb, bad.astype(jnp.int32))
             rows += int(np.prod(bad.shape))
+            fb["patched"] += int(jnp.sum(nflag))
         fb["bad"], fb["rows"] = int(accb), rows
         return int(acc)
 

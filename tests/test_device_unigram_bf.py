@@ -75,15 +75,23 @@ def test_dedup_program_matches_wheel(tok):
     byte_strings = [eng._prepare(s) for s in sample]
     n_bad = 0
     for buf, lens, orig in pack_batch(byte_strings):
-        ids, ntok, bad = unigram_dedup_program(
+        ids, ntok, bad, ptab, nflag = unigram_dedup_program(
             buf, lens, word_cache=False, **eng._dedup_args()
         )
         ids, ntok, bad = map(np.asarray, (ids, ntok, bad))
+        ptab, n = np.asarray(ptab), int(nflag)
+        patches: dict = {}
+        if 0 < n <= ptab.shape[0]:
+            for rec in ptab[:n]:
+                patches.setdefault(int(rec[0]), []).append(rec)
         for k, i in enumerate(orig):
-            if bad[k]:  # near-tie host fallback: allowed, must be rare
+            if bad[k]:  # host fallback: allowed, must be rare
                 n_bad += 1
                 continue
-            assert ids[k][: ntok[k]].tolist() == gold_ids[i], repr(
-                sample[i][:60]
-            )
+            row = ids[k][: ntok[k]]
+            recs = patches.get(k)
+            if recs:  # near-tie/long words: host splice, row stays device
+                row = eng._apply_patches(byte_strings[i], row, recs)
+                assert row is not None
+            assert row.tolist() == gold_ids[i], repr(sample[i][:60])
     assert n_bad <= len(sample) // 4

@@ -165,7 +165,7 @@ def word_hash_heads(b, bnd, inb, mult):
 
 
 def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=None,
-                 hashes=None):
+                 hashes=None, max_wlen=None):
     """Word records, representative election, unique-buffer layout.
 
     `cache`: optional (cache_rows [Sc, 4], reset bool scalar) — the
@@ -174,6 +174,13 @@ def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=None,
 
     `hashes`: optional precomputed (h1, h2) head-delivered word hashes
     (the fused Pallas layout kernel, layout_pallas.py).
+
+    `max_wlen` (static): words longer than this are excluded from the
+    unique buffer (and from cache hits — their truncated rolling hashes
+    are unreliable) instead of corrupting the row-slack layout; they get
+    zero device tokens and surface as per-word patch records
+    (`_finish_expand` patch_cap) for host re-encoding, so ONE long word
+    no longer poisons its whole input row.
 
     Returns (fits, ops) where `ops` is the operand tuple for
     `dedup_finish`."""
@@ -268,7 +275,13 @@ def dedup_layout(b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=None,
         ct0 = crow[..., 2]
         ccnt = crow[..., 3]
 
-    in_buf = is_rep & ~hit  # only uncached representatives get merged
+    if max_wlen is not None:
+        long_w = wvalid & (wlen_w > max_wlen)
+        hit = hit & ~long_w
+    else:
+        long_w = jnp.zeros((wr, wc), bool)
+
+    in_buf = is_rep & ~hit & ~long_w  # uncached representatives get merged
     ulen = jnp.where(in_buf, wlen_w, 0)
     uoff = g_excl_cumsum(ulen)
     total_u = jnp.sum(ulen)
@@ -319,6 +332,8 @@ def dedup_finish(
     cache_state=None,
     encode_fn=None,
     ladder_depth=2,
+    max_wlen=None,
+    patch_cap=0,
 ):
     """The fast branch: encode unique words, expand to per-row output.
 
@@ -416,11 +431,49 @@ def dedup_finish(
 
     # ---- encode it ----------------------------------------------------
     if encode_fn is not None:
-        ids_u, wid_u2, bad_m = encode_fn(
-            b_u, uhead, inb_u, wid_u, wend_f, upos_f
-        )
+        # Occupancy slice (r5): unique words pack densely from row 0 and
+        # the encoder costs the WHOLE buffer (probe sweep + DP/chain), but
+        # capacity is sized for the worst case — typical occupancy is a
+        # fraction, and with the persistent word cache later chunks carry
+        # only NEW words.  Run the encoder on the half buffer when the
+        # unique bytes fit it; pad the dead rows back.
+        ru_h = ru // 2
+        if ru_h >= 2 and ru > 4:
+            fits_half = total_u <= ru_h * uceff
+
+            def e_half(_):
+                r = encode_fn(
+                    b_u[:ru_h], uhead[:ru_h], inb_u[:ru_h], wid_u[:ru_h],
+                    wend_f[:ru_h], upos_f[:ru_h],
+                )
+                ids2, wid2, bad2 = r
+                pad = ru - ru_h
+                uc2 = ids2.shape[1]
+                ids2 = jnp.concatenate(
+                    [ids2, jnp.full((pad, uc2), -1, ids2.dtype)]
+                )
+                wid2 = jnp.concatenate(
+                    [wid2, jnp.full((pad, uc2), -1, wid2.dtype)]
+                )
+                if getattr(bad2, "ndim", 0) == 2:
+                    bad2 = jnp.concatenate(
+                        [bad2, jnp.zeros((pad, bad2.shape[1]), bad2.dtype)]
+                    )
+                return ids2, wid2, bad2
+
+            def e_full(_):
+                return encode_fn(b_u, uhead, inb_u, wid_u, wend_f, upos_f)
+
+            ids_u, wid_u2, bad_m = jax.lax.cond(
+                fits_half, e_half, e_full, None
+            )
+        else:
+            ids_u, wid_u2, bad_m = encode_fn(
+                b_u, uhead, inb_u, wid_u, wend_f, upos_f
+            )
         return _finish_expand(
-            ids_u, wid_u2, bad_m, ops, geom, b.shape, out_w, cache_state
+            ids_u, wid_u2, bad_m, ops, geom, b.shape, out_w, cache_state,
+            max_wlen=max_wlen, patch_cap=patch_cap,
         )
 
     from .bpe_encode import take256
@@ -500,16 +553,29 @@ def dedup_finish(
     if getattr(bad_m, "ndim", 0) == 1 and bad_m.shape[0] == ids_u.shape[0]:
         bad_m = jnp.broadcast_to(bad_m[:, None], ids_u.shape)
     return _finish_expand(
-        ids_u, wid_u2, bad_m, ops, geom, b.shape, out_w, cache_state
+        ids_u, wid_u2, bad_m, ops, geom, b.shape, out_w, cache_state,
+        max_wlen=max_wlen, patch_cap=patch_cap,
     )
 
 
 def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
-                   cache_state, stop_at=None):
+                   cache_state, stop_at=None, max_wlen=None, patch_cap=0):
     """Expansion tail of `dedup_finish`: per-unique-word token counts,
     token storage (batch-local or persistent cache), and the routed
     per-input-row packed output — encoder-agnostic (shared by the BPE
     merge and the WordPiece longest-match encoders).
+
+    `patch_cap` (static): when > 0, flagged words (encoder per-word bad
+    flags, words over `max_wlen`, and dropped words) become PER-WORD PATCH
+    RECORDS instead of poisoning their input rows: the extra outputs
+    (patch_tab int32[patch_cap, 5] rows (row, col, wlen, tok_off,
+    tok_cnt), n_patch scalar) let the host re-encode just those words and
+    splice the ids at tok_off (replacing the device's tok_cnt tokens).
+    Rows become row_bad from word flags only if n_patch > patch_cap
+    (table overflow; host falls back to whole-row re-encode).  This is
+    the r5 fix for the unigram engine's 40% row-fallback rate at bench
+    shapes: a per-word tie/long-word rate of ~1e-4 multiplied across
+    ~2.3k words/row made nearly half the rows host work.
 
     `stop_at` (static; profiling only — tools/profile_expand.py): return
     a checksum after the named sub-stage instead of the real outputs."""
@@ -674,6 +740,14 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
         p2 = p + jnp.where(ok_ins, new_tok, 0)
         new_state = (crows, cbuf, p2)
 
+    if max_wlen is not None:
+        long_w = wvalid & (wlen_w > max_wlen)
+        # long words never entered the unique buffer (dedup_layout): zero
+        # device tokens, always flagged (patch records carry them to the
+        # host).  Their rep/uord-derived stats are garbage — mask them.
+        k_w = jnp.where(long_w, 0, k_w)
+        wbad_w = wbad_w | long_w
+
     roww = jnp.where(wvalid, wpos_w // L, B)
     # previous word's output row, across the 2D word-table boundary
     prevw = jnp.concatenate(
@@ -808,9 +882,32 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
     )
     ntok = jnp.where(row_over, 0, ntok)
     row_bad = row_over | jnp.broadcast_to(any_bad, (B,))
-    # flagged or dropped words -> their input rows re-encode on host
-    # (tie_rows: bit 30 of the packed per-row scatter above)
-    row_bad = row_bad | (tie_rows > 0)
+    if patch_cap:
+        # flagged words -> per-word patch records (host re-encodes each
+        # word and splices at tok_off); their rows stay on device.  Only
+        # a table overflow falls back to whole-row badness.
+        rank = g_excl_cumsum(wbad_w.astype(jnp.int32))
+        nflag = (
+            rank.reshape(-1)[-1]
+            + wbad_w.reshape(-1)[-1].astype(jnp.int32)
+        )
+        col_w = wpos_w - jnp.where(wvalid, wpos_w // L, 0) * L
+        tgt = jnp.where(
+            wbad_w, jnp.minimum(rank, patch_cap), patch_cap
+        ).reshape(-1)
+        recs = jnp.stack(
+            [roww, col_w, wlen_w, ooff, k_w], axis=-1
+        ).reshape(-1, 5)
+        patch_tab = (
+            jnp.zeros((patch_cap + 1, 5), jnp.int32)
+            .at[tgt]
+            .set(recs, mode="drop")[:patch_cap]
+        )
+        row_bad = row_bad | ((tie_rows > 0) & (nflag > patch_cap))
+    else:
+        # flagged or dropped words -> their input rows re-encode on host
+        # (tie_rows: bit 30 of the packed per-row scatter above)
+        row_bad = row_bad | (tie_rows > 0)
     if _os.environ.get("TOKENIZERS_TPU_DEBUG_EXPAND"):  # debug only
         jax.debug.print(
             "expand: nw={nw} over={o} tie={t} anyb={a} drop={d} wbad={w} "
@@ -824,6 +921,9 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
             h=jnp.sum(hit.astype(jnp.int32)),
             tu=jnp.sum(wbad_u.astype(jnp.int32)),
         )
+    result = (ids_out, ntok, row_bad)
+    if patch_cap:
+        result = result + (patch_tab, nflag)
     if cache_state is None:
-        return ids_out, ntok, row_bad
-    return (ids_out, ntok, row_bad), new_state
+        return result
+    return result, new_state

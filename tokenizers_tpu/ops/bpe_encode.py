@@ -420,7 +420,6 @@ def _encode_core(
             buffer_geometry,
             dedup_finish,
             dedup_layout,
-            layout_fits,
         )
 
         geom = buffer_geometry(B * L)
@@ -493,17 +492,24 @@ def _encode_core(
             ntok = jnp.where(ntok > out_w, 0, ntok)
             return (packed, ntok, bad2), (cstate if word_cache else ())
 
-        if B * L >= (1 << 20):
-            # big (TPU-sized) buckets: the full-width merge fallback would
-            # dominate the compiled program (the remote compile helper
-            # OOMs on it at 2M+ positions), so the overflow ladder is a
-            # half-capacity dedup buffer, then whole-chunk host fallback
-            # (row_bad) for batches where >50% of bytes are unique words —
-            # the same contract row_bad always had
-            geom_big = buffer_geometry(B * L, denom=2)
-            fits_big = layout_fits(dops, geom_big)
-            # rare overflow branch: plain while tail (program size)
-            branch_big = make_branch_fast(geom_big, ladder_depth=0)
+        import os as _os
+
+        # big-bucket threshold overridable so the fallback-ceiling tests
+        # can exercise the bench branch structure (dedup-or-host, no
+        # full-width merge) at CPU-compilable shapes
+        big_min = int(
+            _os.environ.get("TOKENIZERS_TPU_BIG_BUCKET_MIN", 1 << 20)
+        )
+        if B * L >= big_min:
+            # big (TPU-sized) buckets: chunks whose unique words overflow
+            # the bl/8 dedup buffer (>12.5% unique bytes — the bench
+            # corpus worst case is 8.4%) fall back to the host whole-chunk
+            # (row_bad), the contract row_bad always had.  r4 kept a
+            # second bl/2-capacity merge cascade for the 12.5-50% range;
+            # r5 drops it: that one branch was ~25% of the compiled
+            # executable (its [293,*] merge buffer dominated the fusion
+            # census), and executable bytes are warm-start seconds on
+            # this backend (~2s/MB through the relay).
 
             def branch_host(dops):
                 r = (
@@ -513,11 +519,8 @@ def _encode_core(
                 )
                 return r, (cstate if word_cache else ())
 
-            def branch_rest(dops):
-                return jax.lax.cond(fits_big, branch_big, branch_host, dops)
-
             (ids_pk, ntok, badm), st = jax.lax.cond(
-                fits, branch_fast, branch_rest, dops
+                fits, branch_fast, branch_host, dops
             )
         else:
             (ids_pk, ntok, badm), st = jax.lax.cond(

@@ -475,13 +475,46 @@ def _ladder_rung(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
     return ids, obp
 
 
+def _rounds_loop(ids, own_l, own_r, wid, seg, rows0, rows1, seed, n_max,
+                 k_steps=FILL_K):
+    """Up to `n_max` merge rounds at this width, stopping early when a
+    round makes no merges.  ONE loop body per width instead of `n_max`
+    inlined round graphs — compile cost (trace time, XLA compile, and the
+    serialized executable, all first-class costs of this architecture) is
+    per-BODY, and the Pallas round uses the full fill depth regardless of
+    round index so the bodies are identical anyway.
+
+    Returns (ids, own_l, own_r, f) with `f` the last round's merged-head
+    mask (all-True if the loop ran zero rounds, which only happens for
+    n_max == 0)."""
+
+    def cond(st):
+        return st[4] & (st[5] < n_max)
+
+    def body(st):
+        ids_, ol_, orr_, _f, _any, r = st
+        ids2, ol2, orr2, f2 = _round(
+            ids_, ol_, orr_, wid, seg, rows0, rows1, seed, k_steps=k_steps
+        )
+        return ids2, ol2, orr2, f2, jnp.any(f2), r + 1
+
+    st0 = (
+        ids, own_l, own_r,
+        jnp.ones(ids.shape, bool),
+        jnp.bool_(True),
+        jnp.int32(0),
+    )
+    ids, own_l, own_r, f, _any, _r = jax.lax.while_loop(cond, body, st0)
+    return ids, own_l, own_r, f
+
+
 def run_merge_phases(
     ids, wid, rows0, rows1, seed, mclr, phase1_rounds=4, obp=None, k_min=1,
     ladder_depth=2,
 ):
-    """Full merge to completion: fixed rounds at input width (growing fill
-    depths — round r's gaps are < 2^r), compact to half width, then loop
-    until no word has a mergeable pair. Returns (ids, wid, row_bad, obp').
+    """Full merge to completion: bounded rounds at input width, compact to
+    3/4 then 1/2 width, then the data-dependent tail ladder.
+    Returns (ids, wid, row_bad, obp').
 
     `rows0`/`rows1` are width-8 rows (`merge_table.rows8`); `mclr` is the
     [V, 2] consume-mins table used once to seed the carried per-position
@@ -490,38 +523,29 @@ def run_merge_phases(
     `obp` (original byte position per token, for offsets) rides along:
     merges keep the left token's position, so it only changes at compaction.
 
-    `k_min`: minimum fill depth for the phase-1 rounds.  Byte-level seeding
-    starts gap-free so the growing depths (round r's gaps are < 2^r) are
-    exact; char-level seeding (charbpe_encode.py) starts with dead runs up
-    to WORD_CAP *inside* words (fused unk, dropped chars, multi-byte
-    continuations), and a same-word pair beyond the fill horizon would be
-    invisibly skipped — breaking (rank, pos) order — so those callers pass
-    k_min=FILL_K.
+    `k_min` is accepted for API compatibility with the char-level callers;
+    rounds always run the full FILL_K fill depth (exact for every seeding —
+    gaps inside words are bounded by WORD_CAP < 2^FILL_K), which is what
+    lets each width's rounds share ONE while-loop body (r5: the unrolled
+    growing-depth schedule put 8 inlined round graphs in every merge
+    instance and the serialized bench executables hit 100-240MB).
 
-    Width/fill schedule (measured on the bench corpus: alive tokens decay
+    Width schedule (measured on the bench corpus: alive tokens decay
     1.0 -> .37 after 4 rounds -> .21 after 8 -> plateau .185 by ~15, and a
-    round costs ~(fixed + per-element-touched)): fixed shallow-fill rounds
-    at geometrically compacted widths do most of the work, and the
-    while_loop only runs the data-dependent tail.  After each butterfly
-    compaction the buffer is dense, so round r since the compaction has
-    gaps < 2^r and fill depth r+1 is exact — this holds for ALL seedings
-    (k_min only constrains the pre-compaction phase-1 rounds).  Compaction
-    overflow (pathological token density) flags row_bad -> host fallback,
-    the same contract the single W/2 compaction always had."""
+    round costs ~(fixed + per-element-touched)): bounded rounds at
+    geometrically compacted widths do most of the work, and the tail
+    ladder runs the data-dependent remainder on buffers sized to the
+    still-active words.  Compaction overflow (pathological token density)
+    flags row_bad -> host fallback, the same contract the single W/2
+    compaction always had."""
     B, W = ids.shape
+    del k_min  # rounds always use FILL_K (see docstring)
 
     own_l, own_r = init_own(ids, mclr)
     seg = _seg_of(wid)
-    # growing fill depths: round r from a dense start has gaps < 2^r, so
-    # depth r+1 is exact; the fills dominate a round's element passes
-    # (~6 fills x k steps), so shallow early rounds are ~2x the round
-    # throughput of fixed FILL_K.  One backend-independent schedule: the
-    # CPU tests exercise exactly the program the TPU runs.
-    for r in range(phase1_rounds):
-        ids, own_l, own_r, f = _round(
-            ids, own_l, own_r, wid, seg, rows0, rows1, seed,
-            k_steps=min(FILL_K, max(r + 1, k_min)),
-        )
+    ids, own_l, own_r, f = _rounds_loop(
+        ids, own_l, own_r, wid, seg, rows0, rows1, seed, phase1_rounds
+    )
 
     def _round_width(frac_num, frac_den):
         # generous widths: token decay after 4 rounds averages ~0.37 on
@@ -540,23 +564,19 @@ def run_merge_phases(
     ids, wid2, bad, extras = compact(ids, wid, w2, extras)
     own_l, own_r = extras[0], extras[1]
     seg2 = _seg_of(wid2)
+    ids, own_l, own_r, f = _rounds_loop(
+        ids, own_l, own_r, wid2, seg2, rows0, rows1, seed, 2
+    )
 
-    for r in range(2):
-        ids, own_l, own_r, f = _round(
-            ids, own_l, own_r, wid2, seg2, rows0, rows1, seed,
-            k_steps=min(FILL_K, r + 1),
-        )
     w3 = _round_width(1, 2)
     extras = (own_l, own_r) + extras[2:]
     ids, wid3, bad3, extras = compact(ids, wid2, w3, extras)
     own_l, own_r = extras[0], extras[1]
     bad = bad | bad3
     seg3 = _seg_of(wid3)
-    for r in range(2):
-        ids, own_l, own_r, f = _round(
-            ids, own_l, own_r, wid3, seg3, rows0, rows1, seed,
-            k_steps=min(FILL_K, r + 1),
-        )
+    ids, own_l, own_r, f = _rounds_loop(
+        ids, own_l, own_r, wid3, seg3, rows0, rows1, seed, 2
+    )
 
     ids, obp2 = _tail_ladder(
         ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,

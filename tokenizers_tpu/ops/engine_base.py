@@ -31,7 +31,7 @@ class FallbackStats:
     here, emitted by bench.py, and ceiling-asserted in the device tests."""
 
     __slots__ = ("device_rows", "bad_rows", "host_pre_inputs",
-                 "total_inputs")
+                 "total_inputs", "patched_words")
 
     def __init__(self):
         self.reset()
@@ -41,6 +41,7 @@ class FallbackStats:
         self.bad_rows = 0  # of those, flagged row_bad -> host re-encode
         self.host_pre_inputs = 0  # inputs host-routed before the device
         self.total_inputs = 0
+        self.patched_words = 0  # per-word host splices (rows stay device)
 
     def snapshot(self) -> dict:
         return {
@@ -51,6 +52,7 @@ class FallbackStats:
             ),
             "host_pre_inputs": self.host_pre_inputs,
             "total_inputs": self.total_inputs,
+            "patched_words": self.patched_words,
         }
 
 
@@ -188,6 +190,35 @@ class DeviceEngineBase:
             for buf, lengths, _ in chunks
         ]
 
+    def _apply_patches(self, prepared: bytes, row_ids, recs):
+        """Splice host-encoded ids for flagged words into a device row.
+
+        `recs`: patch records (row, col, wlen, tok_off, tok_cnt) for this
+        row in ascending tok_off order — the device encoded the row but
+        flagged these words (near-tie, overlong, dropped); the host
+        re-encodes each word's bytes and replaces the device's tok_cnt
+        tokens at tok_off.  Engines that emit patch records override
+        `_encode_word_host`; returning None falls back to whole-row host
+        re-encode."""
+        parts = []
+        cur = 0
+        for rec in recs:
+            _r, col, wlen, ooff, kw = (int(x) for x in rec[:5])
+            word_ids = self._encode_word_host(prepared, col, wlen)
+            if word_ids is None or ooff < cur or ooff + kw > len(row_ids):
+                return None
+            parts.append(row_ids[cur:ooff])
+            parts.append(np.asarray(word_ids, np.int32))
+            cur = ooff + kw
+        parts.append(row_ids[cur:])
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def _encode_word_host(self, prepared: bytes, col: int, wlen: int):
+        """Host-exact ids for ONE flagged word (engine-specific: `col` and
+        `wlen` address the engine's device text space).  None = cannot
+        patch (row falls back to the host pipeline)."""
+        return None
+
     def _run_device(self, byte_strings: List[bytes]):
         """-> (results: per-input np.int32 ids or None, bad: input indices)."""
         results: List[Optional[np.ndarray]] = [None] * len(byte_strings)
@@ -196,15 +227,36 @@ class DeviceEngineBase:
         for (_buf, _lengths, orig), out in zip(
             chunks, self._program_many(chunks)
         ):
-            ids, ntok, row_bad = out
+            ids, ntok, row_bad = out[:3]
             ids = np.asarray(ids)
             ntok = np.asarray(ntok)
             row_bad = np.asarray(row_bad)
+            row_patches: dict = {}
+            if len(out) > 3 and out[3] is not None:
+                ptab, nflag = out[3]
+                n = int(nflag)
+                if n > 0:
+                    ptab = np.asarray(ptab)
+                    if n <= ptab.shape[0]:  # overflow already row-flagged
+                        for rec in ptab[:n]:
+                            row_patches.setdefault(int(rec[0]), []).append(
+                                rec
+                            )
             for r, i in enumerate(orig):
                 if row_bad[r]:
                     bad.append(i)
-                else:
-                    results[i] = ids[r, : ntok[r]]
+                    continue
+                row_ids = ids[r, : ntok[r]]
+                recs = row_patches.get(r)
+                if recs:
+                    row_ids = self._apply_patches(
+                        byte_strings[i], row_ids, recs
+                    )
+                    STATS.patched_words += len(recs)
+                    if row_ids is None:
+                        bad.append(i)
+                        continue
+                results[i] = row_ids
         STATS.device_rows += len(byte_strings)
         STATS.bad_rows += len(bad)
         return results, bad
@@ -460,8 +512,9 @@ class DeviceEngineBase:
                 owners.append(i)
         out = []
         chunks = pack_batch(byte_strings)
-        for (_buf, _lengths, orig), (ids, ntok, _row_bad) in zip(
+        for (_buf, _lengths, orig), res in zip(
             chunks, self._program_many(chunks)
         ):
+            ids, ntok = res[0], res[1]
             out.append((ids, ntok, [owners[j] for j in orig]))
         return out

@@ -49,7 +49,23 @@ UD_UC = 640
 UD_SLACK = 128
 UD_UCEFF = UD_UC - UD_SLACK
 
-TIE_EPS = np.float32(1e-8)
+# Per-word patch records per chunk: flagged words (near-ties, words over
+# UD_SLACK bytes) are host re-encoded INDIVIDUALLY instead of poisoning
+# their input rows (r4: a ~1e-4 per-word flag rate x ~2.3k words/row made
+# 40.8% of bench rows host work).  512 records cover ~50x the measured
+# bench rate; overflow falls back to row-level badness.
+PATCH_CAP = 512
+
+# Near-tie guard: a Viterbi comparison |Δ| below the accumulated
+# compensated-f32 error bound cannot be trusted against the host's f64
+# order, so the word is flagged for host re-encode.  The bound scales with
+# path length and score magnitude: each dd_add contributes ~2^-48 relative
+# error and a path to column q has at most q+1 adds, so
+#     eps(q, a, b) = (q + 2) * TIE_EPS_REL * (|a| + |b| + 1)
+# over-approximates |dd - f64| for both compared paths (TIE_EPS_REL has
+# ~8x margin over 2^-48).  The r4 ABSOLUTE eps of 1e-8 was ~1000x coarser
+# than the true error for typical words and drove most of the false flags.
+TIE_EPS_REL = np.float32(3e-14)
 
 
 def unigram_geometry(bl):
@@ -207,8 +223,13 @@ def unigram_unique_encoder(
             )
             ok = (ch_row > NEG32 / 2) & (dp_h > NEG32 / 2)[:, None]
             both = ok & (sh_h > NEG32 / 2)
+            eps = (
+                (q_row[:, None].astype(jnp.float32) + 2.0)
+                * TIE_EPS_REL
+                * (jnp.abs(cand_h) + jnp.abs(sh_h) + 1.0)
+            )
             near = both & (
-                jnp.abs((cand_h - sh_h) + (cand_l - sh_l)) <= TIE_EPS
+                jnp.abs((cand_h - sh_h) + (cand_l - sh_l)) <= eps
             )
             better = ok & dd_gt(cand_h, cand_l, sh_h, sh_l)
             new_h = jnp.where(better, cand_h, sh_h)
@@ -354,13 +375,11 @@ def _unigram_dedup_core(
     BIGP = jnp.int32(0x7FFFFFFF)
     nxt_b = jax.lax.cummin(jnp.where(wbnd, npos, BIGP), axis=1, reverse=True)
     nxt_bnd = jnp.minimum(_shift_next(nxt_b, BIGP), total[:, None])
-    wlen_d = nxt_bnd - npos
-    # only the packing slack bounds word size here: unlike the packed
-    # program's shift-loop backtrack, the reverse-scan backtrack has no
-    # per-word token cap (jumps are bounded by max piece length, not
-    # tokens per word)
-    row_long = jnp.any(wbnd & (wlen_d > UD_SLACK), axis=1)
-    row_bad = row_bad | row_long
+    # Words longer than the packing slack can't enter the unique buffer
+    # (the reverse-scan backtrack itself has no per-word token cap) —
+    # dedup_layout excludes them via max_wlen and they surface as patch
+    # records (host re-encodes just those words), NOT whole bad rows
+    # (r4's row_long flagged 1.8% of bench rows for 0.0014% of words).
 
     geom = unigram_geometry(B * L2)
     out_w = max(L // 2, 64)
@@ -377,13 +396,14 @@ def _unigram_dedup_core(
 
     fits, dops = dedup_layout(
         nb,
-        wbnd & ~row_long[:, None],
-        ninb & ~row_long[:, None],
-        jnp.where(row_long, 0, total),
+        wbnd,
+        ninb,
+        total,
         nxt_bnd,
         jnp.int32(vseed),
         geom,
         cache=cache,
+        max_wlen=UD_SLACK,
     )
     encode = unigram_unique_encoder(
         vrows0, vrows1, vseed, pow1, pow2, unk_id, unk_hi, unk_lo, max_len,
@@ -403,6 +423,8 @@ def _unigram_dedup_core(
             geom,
             cache_state=cstate,
             encode_fn=encode,
+            max_wlen=UD_SLACK,
+            patch_cap=PATCH_CAP,
         )
         return r if word_cache else (r, ())
 
@@ -410,13 +432,19 @@ def _unigram_dedup_core(
         ids = jnp.full((B, out_w), -1, jnp.int32)
         ntok = jnp.zeros((B,), jnp.int32)
         bad = jnp.ones((B,), bool)
-        return ((ids, ntok, bad), (cstate if word_cache else ()))
+        ptab = jnp.zeros((PATCH_CAP, 5), jnp.int32)
+        return (
+            (ids, ntok, bad, ptab, jnp.int32(0)),
+            (cstate if word_cache else ()),
+        )
 
-    (ids, ntok, bad), st = jax.lax.cond(fits, branch_fast, branch_slow, dops)
-    bad = bad | row_long
+    (ids, ntok, bad, ptab, nflag), st = jax.lax.cond(
+        fits, branch_fast, branch_slow, dops
+    )
+    bad = bad | row_bad
     if word_cache:
-        return ids, ntok, bad, st
-    return ids, ntok, bad
+        return ids, ntok, bad, ptab, nflag, st
+    return ids, ntok, bad, ptab, nflag
 
 
 unigram_dedup_program = functools.partial(
@@ -451,25 +479,30 @@ def unigram_dedup_scan(
     cache_buf=None,
     cache_p=None,
 ):
-    """N same-shape chunks in one dispatch, word cache as scan carry."""
+    """N same-shape chunks in one dispatch, word cache as scan carry.
+
+    Returns (ids [N,B,out_w], ntok [N,B], bad [N,B],
+    patch_tab [N,PATCH_CAP,5], n_patch [N], cache_carry)."""
 
     def step(carry, xs):
         buf, lens = xs
         if word_cache:
             crows, cbuf, p = carry
-            ids, ntok, bad, st = _unigram_dedup_core(
+            ids, ntok, bad, ptab, nflag, st = _unigram_dedup_core(
                 buf, lens, cls_s1, cls_s2, vrows0, vrows1, vseed,
                 pow1, pow2, unk_id, unk_hi, unk_lo, max_len,
                 bf_tab=bf_tab, word_cache=True, cache_rows=crows,
                 cache_buf=cbuf, cache_p=p,
             )
-            return tuple(st), (ids, ntok, bad)
-        ids, ntok, bad = _unigram_dedup_core(
+            return tuple(st), (ids, ntok, bad, ptab, nflag)
+        ids, ntok, bad, ptab, nflag = _unigram_dedup_core(
             buf, lens, cls_s1, cls_s2, vrows0, vrows1, vseed,
             pow1, pow2, unk_id, unk_hi, unk_lo, max_len, bf_tab=bf_tab,
         )
-        return carry, (ids, ntok, bad)
+        return carry, (ids, ntok, bad, ptab, nflag)
 
     init = (cache_rows, cache_buf, cache_p) if word_cache else ()
-    carry, (ids, ntok, bad) = jax.lax.scan(step, init, (bytes_u8, lengths))
-    return ids, ntok, bad, carry
+    carry, (ids, ntok, bad, ptab, nflag) = jax.lax.scan(
+        step, init, (bytes_u8, lengths)
+    )
+    return ids, ntok, bad, ptab, nflag, carry

@@ -264,13 +264,38 @@ class UnigramEngine(DeviceEngineBase):
 
         return on_accelerator()
 
+    def _encode_word_host(self, prepared: bytes, col: int, wlen: int):
+        """Host-exact ids for one flagged word: `col`/`wlen` address the
+        device's normalized stream (Nmt + space-collapse + Metaspace), so
+        rebuild that stream host-side, slice the word, and run the f64
+        Viterbi (the conformance oracle) on it."""
+        stream = self._norm_stream(prepared)
+        piece = stream[col : col + wlen]
+        try:
+            word = piece.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        toks = self.tokenizer.model.tokenize(word)
+        return np.asarray([t.id for t in toks], np.int32)
+
+    def _norm_stream(self, prepared: bytes) -> bytes:
+        """The device programs' normalized text space, recomputed host-side
+        (bit-equal: normalize_metaspace is conformance-tested against this
+        pipeline): normalizer chain, then Metaspace replace + prepend."""
+        s = prepared.decode("utf-8")
+        ns = self.tokenizer.normalizer.normalize_str(s)
+        meta = ns.replace(" ", "▁")
+        if not meta.startswith("▁"):
+            meta = "▁" + meta
+        return meta.encode("utf-8")
+
     def _program(self, buf, lengths):
         if self._use_dedup():
             from .unigram_dedup import unigram_dedup_program
 
             with self._wc_lock:
                 st = self._ensure_cache()
-                ids, ntok, bad, st2 = unigram_dedup_program(
+                ids, ntok, bad, ptab, nflag, st2 = unigram_dedup_program(
                     buf,
                     lengths,
                     word_cache=True,
@@ -280,7 +305,7 @@ class UnigramEngine(DeviceEngineBase):
                     **self._dedup_args(),
                 )
                 self._wc = list(st2)
-            return ids, ntok, bad
+            return ids, ntok, bad, (ptab, nflag)
         with jax.enable_x64():
             return self._program_x64(buf, lengths)
 
@@ -312,7 +337,7 @@ class UnigramEngine(DeviceEngineBase):
                 st = self._ensure_cache()
                 bufs = np.stack([chunks[i][0] for i in idxs])
                 lens = np.stack([chunks[i][1] for i in idxs])
-                ids, ntok, bad, st2 = unigram_dedup_scan(
+                ids, ntok, bad, ptab, nflag, st2 = unigram_dedup_scan(
                     bufs,
                     lens,
                     word_cache=True,
@@ -323,7 +348,7 @@ class UnigramEngine(DeviceEngineBase):
                 )
                 self._wc = list(st2)
             for k, i in enumerate(idxs):
-                out[i] = (ids[k], ntok[k], bad[k])
+                out[i] = (ids[k], ntok[k], bad[k], (ptab[k], nflag[k]))
         return out
 
     def _program_x64(self, buf, lengths):
