@@ -13,6 +13,19 @@ try:
 except (ValueError, OSError):
     pass
 
+# The LLVM JIT mmaps a code section per compiled computation; the big
+# XLA:CPU programs exhaust the default vm.max_map_count=65530 mid-run
+# ("LLVM ERROR: Unable to allocate section memory!" -> abort, the r5
+# diagnosis of the recurring test-process crashes).  Raise it when
+# we can (container root); harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < (1 << 20):
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write(str(1 << 20))
+except (OSError, ValueError):
+    pass
+
 # Multi-chip tests run on a virtual 8-device CPU mesh.
 #
 # The container pins JAX_PLATFORMS=axon (one tunneled TPU chip) and its

@@ -82,3 +82,39 @@ def test_pallas_round_matches_lax(seed, R, C, k):
         np.asarray(r1_)[alive], np.asarray(r2_)[alive]
     )
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    # fused driver (carried keys): two back-to-back rounds must equal two
+    # lax rounds — the carried h0/h1/nid are where a staleness bug would
+    # show up, so the second round is the actual assertion
+    from tokenizers_tpu.ops.merge_pallas import (
+        _pad_rb,
+        keys_pallas,
+        merge_round_fused,
+    )
+
+    ids_p = _pad_rb(ids, -1)
+    ol_p = _pad_rb(own_l, 0)
+    or_p = _pad_rb(own_r, 0)
+    wid_p = _pad_rb(wid, -1)
+    h0, h1, nid = keys_pallas(ids_p, rows0, seed32, k_steps=k,
+                              interpret=True)
+    st = (ids_p, ol_p, or_p, h0, h1, nid)
+    lax_st = (ids, own_l, own_r)
+    R0 = ids.shape[0]
+    for _ in range(2):
+        i2, l2_, r2x, f2x, h0, h1, nid = merge_round_fused(
+            st[0], st[1], st[2], wid_p, st[3], st[4], st[5], rows0, rows1,
+            seed32, k_steps=k, interpret=True,
+        )
+        st = (i2, l2_, r2x, h0, h1, nid)
+        a1x, l1x, r1x, f1x = merge_round(
+            lax_st[0], lax_st[1], lax_st[2], wid, _seg_of(wid), rows0,
+            rows1, seed32, k_steps=k,
+        )
+        lax_st = (a1x, l1x, r1x)
+        np.testing.assert_array_equal(
+            np.asarray(a1x), np.asarray(i2[:R0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f1x), np.asarray(f2x[:R0])
+        )

@@ -303,6 +303,7 @@ def _encode_core(
     cache_buf=None,
     cache_p=None,
     ascii_only=False,
+    profile_stop=None,
 ):
     """uint8[B,L] bytes + int32[B] lengths
     -> (ids int32[B, L//2], ntok int32[B], row_bad bool[B]).
@@ -364,6 +365,22 @@ def _encode_core(
         nxt_bnd = _shift_next(nbp, BIGP)
     wlen = jnp.minimum(nxt_bnd, lengths[:, None]) - pos  # at word heads
     row_bad = jnp.any(bnd & (wlen > WORD_CAP), axis=1)
+
+    def _stop(val):
+        """Profiling early-exit (tools/profile_scan.py): the checksum rides
+        out in ntok so every stop variant keeps the REAL output signature
+        (and the scan/cond structure above it compiles unchanged)."""
+        r = (
+            jnp.zeros((B, max(L // 2, 64)), jnp.int32),
+            jnp.full((B,), val.astype(jnp.int32), jnp.int32),
+            jnp.zeros((B,), bool),
+        )
+        if word_cache:
+            return r[0], r[1], r[2], (cache_rows, cache_buf, cache_p)
+        return r
+
+    if profile_stop == "bnd":
+        return _stop(jnp.sum(bnd.astype(jnp.int32)) + jnp.sum(nxt_bnd & 1))
 
     def make_ids0():
         ids0 = jnp.where(inb, take256(b, byte2id), -1)
@@ -441,6 +458,8 @@ def _encode_core(
             b, bnd, inb, lengths, nxt_bnd, seed, geom, cache=cache,
             hashes=hashes,
         )
+        if profile_stop == "dlayout":
+            return _stop(dops[3] + dops[7] + jnp.sum(dops[2] & 1))
 
         def make_branch_fast(g, ladder_depth=2):
             def branch_fast(dops):
@@ -460,6 +479,7 @@ def _encode_core(
                     ww_seed=ww_seed,
                     cache_state=cstate,
                     ladder_depth=ladder_depth,
+                    stop_at=profile_stop,
                 )
                 return r if word_cache else (r, ())
 
@@ -588,6 +608,7 @@ encode_program = functools.partial(
         "dedup",
         "word_cache",
         "ascii_only",
+        "profile_stop",
     ),
     donate_argnames=("cache_rows", "cache_buf", "cache_p"),
 )(_encode_core)
@@ -595,7 +616,9 @@ encode_program = functools.partial(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("boundary", "whole_word", "ascii_only", "word_cache"),
+    static_argnames=(
+        "boundary", "whole_word", "ascii_only", "word_cache", "profile_stop",
+    ),
     donate_argnames=("cache_rows", "cache_buf", "cache_p"),
 )
 def encode_program_scan(
@@ -617,6 +640,7 @@ def encode_program_scan(
     cache_p=None,
     ascii_only=False,
     word_cache=True,
+    profile_stop=None,
 ):
     """N same-shape chunks in ONE device dispatch via `lax.scan`, threading
     the persistent word cache through as the scan carry.
@@ -657,6 +681,7 @@ def encode_program_scan(
                 cache_buf=cbuf,
                 cache_p=p,
                 ascii_only=ascii_only,
+                profile_stop=profile_stop,
             )
             return tuple(st), (ids, ntok, bad)
         ids, ntok, bad = _encode_core(
@@ -674,6 +699,7 @@ def encode_program_scan(
             ww_rows1=ww_rows1,
             ww_seed=ww_seed,
             ascii_only=ascii_only,
+            profile_stop=profile_stop,
         )
         return carry, (ids, ntok, bad)
 

@@ -248,8 +248,14 @@ def merge_round(ids, own_l, own_r, wid, seg, rows0, rows1, seed,
 
 def init_own(ids, mclr):
     """Initial per-position (MCL, MCR) carried state for `merge_round`:
-    one [V, 2]-row gather (the only mclr gather in the whole merge)."""
+    one row gather (the only mclr gather in the whole merge).  The [V, 2]
+    table is padded to width 4 first — narrow row gathers miss the
+    aligned fast path on this backend (r5)."""
     V = mclr.shape[0]
+    if mclr.shape[-1] < 4:
+        mclr = jnp.concatenate(
+            [mclr, jnp.zeros((V, 4 - mclr.shape[-1]), mclr.dtype)], axis=-1
+        )
     own = mclr[jnp.clip(ids, 0, V - 1)]
     return own[..., 0], own[..., 1]
 
@@ -259,14 +265,9 @@ def _round(ids, own_l, own_r, wid, seg, rows0, rows1, seed, k_steps=FILL_K):
     the lax formulation (the oracle) elsewhere.  Bit-identical paths —
     fuzzed against each other in tests/test_merge_pallas.py.
 
-    The Pallas path always uses the full fill depth: deeper fills are a
-    few extra VMEM shifts inside an already-fused kernel (shallow k only
-    pays off for the op-count-bound lax path), and one (shape, k) variant
-    per width keeps the Mosaic compile count down.  (r4 re-measured this
-    IN-PROGRAM: swapping the rounds to shallow-k lax regressed the merge
-    stage 31.6 -> 70 ms/chunk — isolated A/B loops had said they were
-    equal, but per-call dispatch overhead ~2.5 ms/iter on this tunneled
-    backend poisons isolated microbenches; trust whole-program prefixes.)"""
+    Standalone form (recomputes pair keys every round); the loops use
+    `make_round_driver`, which carries the keys between rounds on the
+    Pallas path."""
     from .merge_pallas import merge_round_pallas, supported, use_pallas
 
     if use_pallas() and supported(ids.shape):
@@ -276,6 +277,70 @@ def _round(ids, own_l, own_r, wid, seg, rows0, rows1, seed, k_steps=FILL_K):
     return merge_round(
         ids, own_l, own_r, wid, seg, rows0, rows1, seed, k_steps=k_steps
     )
+
+
+def make_round_driver(wid, seg, rows0, rows1, seed, k_steps=FILL_K):
+    """(init, step, unpack) for running merge rounds in a loop.
+
+    On the Pallas path the round state carries the NEXT round's pair keys
+    (h0, h1, next-id), produced by the fused apply+keys kernel
+    (`merge_round_fused`) — one kernel launch and one HBM state
+    round-trip per round instead of two (r5: the merge phases measured
+    27.2 of the 66.8 ms/chunk real-program budget, ~0.4ms/round of which
+    was the separate keys kernel).  State rows are padded to the RB
+    multiple ONCE at init and stay padded through the loop.
+
+    The lax path (CPU oracle) keeps the self-contained round; both paths
+    return `f` (merged-head mask) at the caller's row count.
+
+    `wid`/`seg` are captured at the CALLER's (unpadded) shape; padded
+    rows carry wid=-1/all-dead and can never merge."""
+    from .merge_pallas import (
+        _pad_rb,
+        keys_pallas,
+        merge_round_fused,
+        supported,
+        use_pallas,
+    )
+
+    R0 = wid.shape[0]
+    if use_pallas() and supported(wid.shape):
+        wid_p = _pad_rb(wid, -1)
+
+        def init(ids, own_l, own_r):
+            ids = _pad_rb(ids, -1)
+            own_l = _pad_rb(own_l, 0)
+            own_r = _pad_rb(own_r, 0)
+            h0, h1, nid = keys_pallas(ids, rows0, seed, k_steps=FILL_K)
+            return (ids, own_l, own_r, h0, h1, nid)
+
+        def step(st):
+            ids, ol, orr, h0, h1, nid = st
+            ids2, ol2, orr2, f, h0n, h1n, nidn = merge_round_fused(
+                ids, ol, orr, wid_p, h0, h1, nid, rows0, rows1, seed,
+                k_steps=FILL_K,
+            )
+            return (ids2, ol2, orr2, h0n, h1n, nidn), f[:R0]
+
+        def unpack(st):
+            return st[0][:R0], st[1][:R0], st[2][:R0]
+
+    else:
+
+        def init(ids, own_l, own_r):
+            return (ids, own_l, own_r)
+
+        def step(st):
+            ids2, ol2, orr2, f = merge_round(
+                st[0], st[1], st[2], wid, seg, rows0, rows1, seed,
+                k_steps=k_steps,
+            )
+            return (ids2, ol2, orr2), f
+
+        def unpack(st):
+            return st
+
+    return init, step, unpack
 
 
 def compact(ids, wid, w_new, extras=()):
@@ -372,9 +437,15 @@ def _tail_ladder(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
 
 
 def _ladder_rung(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
-                 obp=None, depth=0):
+                 obp=None, depth=0, ratio=2):
+    """`ratio`: row shrink factor of this rung's buffer.  The FIRST rung
+    uses 2 (r5): a round's cost is ~11ns/lane (merge-table gathers over
+    all lanes, dead included), so hopping active words out of the wide
+    buffer as soon as they fit a half-size rung beats holding extra
+    full-width rounds waiting for the old 1/8 rung to fit; recursion
+    shrinks by 8 from there."""
     B3, C3 = ids.shape
-    R4 = max(B3 // 8, 2)
+    R4 = max(B3 // ratio, 2)
     C4 = C3
     slack = min(WORD_CAP, C4 // 2)
     C4eff = C4 - slack
@@ -386,39 +457,39 @@ def _ladder_rung(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
         act = alive_ & _word_any(f_ & alive_, seg3)
         return act, jnp.sum(act.astype(jnp.int32))
 
+    init, step, unpack = make_round_driver(wid3, seg3, rows0, rows1, seed)
+
     if last:
         # bottom rung: plain rounds until dry
-        def cond(st):
-            return st[3]
+        def cond(c):
+            return c[1]
 
-        def body(st):
-            ids_, ol_, orr_, _ = st
-            a, l, r, f2 = _round(
-                ids_, ol_, orr_, wid3, seg3, rows0, rows1, seed
-            )
-            return a, l, r, jnp.any(f2)
+        def body(c):
+            st, _any = c
+            st2, f2 = step(st)
+            return (st2, jnp.any(f2))
 
-        ids, own_l, own_r, _ = jax.lax.while_loop(
-            cond, body, (ids, own_l, own_r, jnp.any(f))
+        stF, _ = jax.lax.while_loop(
+            cond, body, (init(ids, own_l, own_r), jnp.any(f))
         )
+        ids, own_l, own_r = unpack(stF)
         return ids, obp
 
     # rounds at this width while the active set is too big for the next rung
-    def cond3(st):
-        return jnp.any(st[3]) & (st[4] > CAP4)
+    def cond3(c):
+        return jnp.any(c[1]) & (c[2] > CAP4)
 
-    def body3(st):
-        ids_, ol_, orr_, f_, _n = st
-        ids2, ol2, orr2, f2 = _round(
-            ids_, ol_, orr_, wid3, seg3, rows0, rows1, seed
-        )
-        _a, n2 = act_stats(ids2, f2)
-        return ids2, ol2, orr2, f2, n2
+    def body3(c):
+        st, _f, _n = c
+        st2, f2 = step(st)
+        _a, n2 = act_stats(st2[0][: wid3.shape[0]], f2)
+        return (st2, f2, n2)
 
     _a0, n0 = act_stats(ids, f)
-    ids, own_l, own_r, f, _n = jax.lax.while_loop(
-        cond3, body3, (ids, own_l, own_r, f, n0)
+    stF, f, _n = jax.lax.while_loop(
+        cond3, body3, (init(ids, own_l, own_r), f, n0)
     )
+    ids, own_l, own_r = unpack(stF)
     act, _n = act_stats(ids, f)
 
     # ---- compact active words' alive tokens to [R4, C4] ----------------
@@ -452,10 +523,10 @@ def _ladder_rung(ids, own_l, own_r, f, wid3, seg3, rows0, rows1, seed,
     gw4 = jnp.where(live4, gw4, -1)
     seg4 = _seg_of(gw4)
 
-    # ---- recurse: rounds at 1/8 rows (and below) until dry -------------
+    # ---- recurse: rounds at 1/8 of these rows (and below) until dry ----
     ids4, obp4 = _ladder_rung(
         ids4, ol4, orr4, live4, gw4, seg4, rows0, rows1, seed,
-        obp=obp4, depth=depth - 1,
+        obp=obp4, depth=depth - 1, ratio=8,
     )
 
     # ---- route finished tokens back to their home positions ------------
@@ -487,24 +558,26 @@ def _rounds_loop(ids, own_l, own_r, wid, seg, rows0, rows1, seed, n_max,
     Returns (ids, own_l, own_r, f) with `f` the last round's merged-head
     mask (all-True if the loop ran zero rounds, which only happens for
     n_max == 0)."""
+    init, step, unpack = make_round_driver(
+        wid, seg, rows0, rows1, seed, k_steps=k_steps
+    )
 
-    def cond(st):
-        return st[4] & (st[5] < n_max)
+    def cond(c):
+        return c[1] & (c[2] < n_max)
 
-    def body(st):
-        ids_, ol_, orr_, _f, _any, r = st
-        ids2, ol2, orr2, f2 = _round(
-            ids_, ol_, orr_, wid, seg, rows0, rows1, seed, k_steps=k_steps
-        )
-        return ids2, ol2, orr2, f2, jnp.any(f2), r + 1
+    def body(c):
+        st, _any, r, _f = c
+        st2, f2 = step(st)
+        return (st2, jnp.any(f2), r + 1, f2)
 
-    st0 = (
-        ids, own_l, own_r,
-        jnp.ones(ids.shape, bool),
+    c0 = (
+        init(ids, own_l, own_r),
         jnp.bool_(True),
         jnp.int32(0),
+        jnp.ones(wid.shape, bool),
     )
-    ids, own_l, own_r, f, _any, _r = jax.lax.while_loop(cond, body, st0)
+    stF, _any, _r, f = jax.lax.while_loop(cond, body, c0)
+    ids, own_l, own_r = unpack(stF)
     return ids, own_l, own_r, f
 
 
@@ -544,23 +617,28 @@ def run_merge_phases(
     own_l, own_r = init_own(ids, mclr)
     seg = _seg_of(wid)
     ids, own_l, own_r, f = _rounds_loop(
-        ids, own_l, own_r, wid, seg, rows0, rows1, seed, phase1_rounds
+        ids, own_l, own_r, wid, seg, rows0, rows1, seed,
+        min(phase1_rounds, 2),
     )
 
     def _round_width(frac_num, frac_den):
-        # generous widths: token decay after 4 rounds averages ~0.37 on
-        # prose, but code/symbol-heavy rows plateau near 0.6-0.7 — a
-        # too-tight width drops their tokens and (since r3) host-
-        # fallbacks their input rows, so widths buy conformance-path
-        # throughput at a small per-round element cost.  Keep Pallas-
-        # supported alignment (C % 128 == 0).
+        # width schedule (r5 re-tuned from the REAL per-round cost model:
+        # a round is dominated by the merge-table gathers over ALL lanes
+        # incl. dead ones, so lane-count x rounds is the merge budget):
+        # compact after TWO full-width rounds to 5/8 (prose alive after 2
+        # rounds ~0.5; 5/8 leaves outlier-row margin), two more rounds,
+        # then the long-lived 1/2-width buffer.  Code/symbol rows that
+        # plateau above a width overflow their buffer row -> their input
+        # rows host-fallback (the measured residue is ~0.2%); widths stay
+        # generous for exactly that reason.  Keep Pallas alignment
+        # (C % 128 == 0).
         w = (W * frac_num) // frac_den
         if w >= 256:
             w = -(-w // 128) * 128
         return max(w, 64)
 
     extras = (own_l, own_r) + ((obp,) if obp is not None else ())
-    w2 = _round_width(3, 4)
+    w2 = _round_width(5, 8)
     ids, wid2, bad, extras = compact(ids, wid, w2, extras)
     own_l, own_r = extras[0], extras[1]
     seg2 = _seg_of(wid2)

@@ -150,6 +150,30 @@ def _keys_kernel(seed_ref, ids_ref, h0_ref, h1_ref, nid_ref,
     h1_ref[:] = hash_jnp(ids, nid, seed, mask, 1)
 
 
+def _apply_keys_kernel(
+    seed_ref, ids_ref, own_l_ref, own_r_ref, wid_ref, r_ref, nw_ref,
+    ml_ref, mr_ref,
+    ids_o, own_l_o, own_r_o, f_o, h0_o, h1_o, nid_o, *, k_steps, mask,
+):
+    """Apply kernel that ALSO emits the NEXT round's pair keys (r5): one
+    fused kernel per round instead of apply + keys — saves a kernel launch
+    and an HBM round-trip of the ids/state arrays every round (~27 rounds
+    per chunk on the bench corpus).  Arithmetic identical to
+    `_apply_kernel` + `_keys_kernel` in sequence."""
+    C = ids_ref.shape[1]
+    seed = seed_ref[0]
+    _apply_kernel(
+        ids_ref, own_l_ref, own_r_ref, wid_ref, r_ref, nw_ref, ml_ref,
+        mr_ref, ids_o, own_l_o, own_r_o, f_o, k_steps=k_steps,
+    )
+    ids2 = ids_o[:]
+    alive2 = ids2 >= 0
+    (nid2,), _ = fill_next_i([ids2], alive2, k_steps)
+    nid_o[:] = nid2
+    h0_o[:] = hash_jnp(ids2, nid2, seed, mask, 0)
+    h1_o[:] = hash_jnp(ids2, nid2, seed, mask, 1)
+
+
 def _apply_kernel(
     ids_ref, own_l_ref, own_r_ref, wid_ref, r_ref, nw_ref, ml_ref, mr_ref,
     ids_o, own_l_o, own_r_o, f_o, *, k_steps,
@@ -208,6 +232,83 @@ def _apply_kernel(
     own_l_o[:] = jnp.where(f, mcl_new, own_l)
     own_r_o[:] = jnp.where(f, mcr_new, own_r)
     f_o[:] = f.astype(jnp.int32)
+
+
+def _pad_rb(x, fill):
+    R0, C = x.shape
+    if R0 % RB == 0:
+        return x
+    pad = RB - R0 % RB
+    return jnp.concatenate([x, jnp.full((pad, C), fill, x.dtype)], axis=0)
+
+
+def _select_rows(ids, nid, h0, h1, rows0, rows1):
+    """XLA-side merge-table row gathers + hit selects (the only random
+    access of a round); shared by the legacy and fused round drivers."""
+    r0 = rows0[h0]
+    r1 = rows1[h1]
+    hit0 = (r0[..., 0] == ids) & (r0[..., 1] == nid)
+    hit1 = (r1[..., 0] == ids) & (r1[..., 1] == nid)
+    sel = lambda k: jnp.where(hit0, r0[..., k], r1[..., k])  # noqa: E731
+    r_in = jnp.where(hit0 | hit1, sel(2), jnp.int32(INF))
+    return r_in, sel(3), sel(4), sel(5)
+
+
+@functools.partial(jax.jit, static_argnames=("k_steps", "interpret"))
+def keys_pallas(ids, rows0, seed, k_steps=9, interpret=False):
+    """Initial pair keys (h0, h1, next-id) for the fused round driver.
+    Rows are padded up to RB; outputs keep the padded row count (the
+    driver runs the whole loop at the padded shape)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ids = _pad_rb(ids, -1)
+    R, C = ids.shape
+    mask = rows0.shape[0] - 1
+    grid = (R // RB,)
+    blk = pl.BlockSpec((RB, C), lambda i: (i, 0))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    h0, h1, nid = pl.pallas_call(
+        functools.partial(_keys_kernel, k_steps=k_steps, mask=mask),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((R, C), jnp.int32)] * 3,
+        interpret=interpret,
+    )(seed_arr, ids)
+    return h0, h1, nid
+
+
+@functools.partial(jax.jit, static_argnames=("k_steps", "interpret"))
+def merge_round_fused(
+    ids, own_l, own_r, wid, h0, h1, nid, rows0, rows1, seed, k_steps=9,
+    interpret=False,
+):
+    """One merge round from carried keys: table row-gathers (XLA) + ONE
+    kernel that applies the merges AND emits the next round's keys — the
+    r5 replacement for the keys-kernel + apply-kernel pair (one launch
+    and one HBM state round-trip fewer per round; ~27 rounds/chunk).
+    All arrays must already be RB-row-padded (see `keys_pallas`).
+    Returns (ids', own_l', own_r', f, h0', h1', nid')."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, C = ids.shape
+    mask = rows0.shape[0] - 1
+    r_in, new_id, mcl_new, mcr_new = _select_rows(ids, nid, h0, h1, rows0,
+                                                  rows1)
+    grid = (R // RB,)
+    blk = pl.BlockSpec((RB, C), lambda i: (i, 0))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    ids2, own_l2, own_r2, f, h0n, h1n, nidn = pl.pallas_call(
+        functools.partial(_apply_keys_kernel, k_steps=k_steps, mask=mask),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 8,
+        out_specs=[blk] * 7,
+        out_shape=[jax.ShapeDtypeStruct((R, C), jnp.int32)] * 7,
+        interpret=interpret,
+    )(seed_arr, ids, own_l, own_r, wid, r_in, new_id, mcl_new, mcr_new)
+    return ids2, own_l2, own_r2, f > 0, h0n, h1n, nidn
 
 
 @functools.partial(jax.jit, static_argnames=("k_steps", "interpret"))
@@ -313,6 +414,11 @@ def _probe() -> bool:
             ids, z, z, wid, rows, rows, jnp.int32(1), k_steps=4
         )
         jax.block_until_ready(out[0])
+        h0, h1, nid = keys_pallas(ids, rows, jnp.int32(1), k_steps=4)
+        out2 = merge_round_fused(
+            ids, z, z, wid, h0, h1, nid, rows, rows, jnp.int32(1), k_steps=4
+        )
+        jax.block_until_ready(out2[0])
         ok = True
     except Exception:
         ok = False

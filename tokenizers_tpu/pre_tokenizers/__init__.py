@@ -84,6 +84,16 @@ class Whitespace(PreTokenizer):
             lambda i, normalized: normalized.split(Invert(_WHITESPACE_RE), REMOVED)
         )
 
+    def pre_tokenize_str(self, sequence: str):
+        # Fast path: with no upstream normalization the match spans ARE
+        # the char offsets, so skip the NormalizedString machinery — this
+        # is the trainer-feed hot loop (reference rayon-parallel word
+        # counting, `models/bpe/trainer.rs:609-638`); one C-level
+        # finditer pass per line instead of per-split alignment tracking.
+        return [
+            (m.group(), m.span()) for m in _WHITESPACE_RE.finditer(sequence)
+        ]
+
 
 class WhitespaceSplit(PreTokenizer):
     def pre_tokenize(self, pretokenized: PreTokenizedString) -> None:

@@ -61,6 +61,8 @@ class BpeTrainer:
         """Count words over the corpus — chunked over the fork pool when
         TOKENIZERS_PARALLELISM allows, mirroring the reference's rayon
         map-reduce feed (`models/bpe/trainer.rs:609-638`)."""
+        from collections import Counter
+
         from ..utils.parallelism import maybe_par_map
 
         seqs = list(iterator)
@@ -72,19 +74,20 @@ class BpeTrainer:
             ]
 
             def count(chunk):
-                local: Dict[str, int] = {}
+                local: Counter = Counter()
                 for sequence in chunk:
-                    for word in process(sequence):
-                        local[word] = local.get(word, 0) + 1
+                    local.update(process(sequence))
                 return local
 
             for local in maybe_par_map(count, chunks, min_items=2):
                 for w, c in local.items():
                     words[w] = words.get(w, 0) + c
             return
+        local = Counter()
         for sequence in seqs:
-            for word in process(sequence):
-                words[word] = words.get(word, 0) + 1
+            local.update(process(sequence))
+        for w, c in local.items():
+            words[w] = words.get(w, 0) + c
 
     # ----------------------------------------------------------------- train
 
