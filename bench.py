@@ -97,6 +97,9 @@ def emit(metric, value, unit, vs):
         # % of device rows the program flagged row_bad (host re-encode
         # residue; see ops/engine_base.FallbackStats)
         rec["fallback_rows_pct"] = round(LAST_FALLBACK_PCT, 3)
+    if LAST_PATCHED_WORDS is not None:
+        # flagged words host-spliced per run (rows stayed on device)
+        rec["patched_words"] = LAST_PATCHED_WORDS
     print(json.dumps(rec), flush=True)
 
 
@@ -176,6 +179,7 @@ def _stage_groups(eng, docs, ascii_key=None):
 
 LAST_WARMUP_S = 0.0  # compile+first-run time of the last _time_reps call
 LAST_FALLBACK_PCT = None  # % of device rows flagged row_bad in the last run
+LAST_PATCHED_WORDS = None  # per-word host splices (rows stayed on device)
 
 
 def _time_reps(run, reps=5, budget=45.0):
@@ -390,8 +394,9 @@ def bench_unigram_scan(time_budget=45.0):
         return int(acc)
 
     best = _time_reps(run, budget=time_budget)
-    global LAST_FALLBACK_PCT
+    global LAST_FALLBACK_PCT, LAST_PATCHED_WORDS
     LAST_FALLBACK_PCT = 100.0 * fb["bad"] / max(fb["rows"], 1)
+    LAST_PATCHED_WORDS = fb["patched"]
     return nbytes / best, nbytes
 
 

@@ -50,12 +50,15 @@ def _residue(fixture, docs, force_dedup=False):
 
 def test_gpt2_fallback_residue_under_ceiling():
     # exercise the big-bucket branch structure (dedup-or-host, the bench
-    # path) at a CPU-compilable shape
-    os.environ["TOKENIZERS_TPU_BIG_BUCKET_MIN"] = str(1 << 18)
+    # path) at bench DOC length but CPU-compilable chunk shapes: doc
+    # length is what drives the long-word/capacity failure modes
+    os.environ["TOKENIZERS_TPU_BIG_BUCKET_MIN"] = str(1 << 17)
+    os.environ["TOKENIZERS_TPU_POSITION_BUDGET"] = str(1 << 17)
     try:
         snap = _residue("gpt2", _docs(n=32))
     finally:
         del os.environ["TOKENIZERS_TPU_BIG_BUCKET_MIN"]
+        del os.environ["TOKENIZERS_TPU_POSITION_BUDGET"]
     # corpus slice is ordinary prose/code: bad rows must stay rare
     assert snap["bad_row_fraction"] <= 0.005, snap
 
@@ -64,7 +67,11 @@ def test_unigram_fallback_residue_under_ceiling():
     # near-ties and >UD_SLACK words are WORD-level patch records (r5):
     # the row stays on device and the host splices the few flagged words,
     # so the row-fallback ceiling is tight even at bench doc sizes
-    snap = _residue("unigram", _docs(n=24), force_dedup=True)
+    os.environ["TOKENIZERS_TPU_POSITION_BUDGET"] = str(1 << 17)
+    try:
+        snap = _residue("unigram", _docs(n=24), force_dedup=True)
+    finally:
+        del os.environ["TOKENIZERS_TPU_POSITION_BUDGET"]
     assert snap["bad_row_fraction"] <= 0.01, snap
 
 

@@ -25,12 +25,14 @@ jax = pytest.importorskip("jax")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# StableHLO ceilings at the test shape (measured r5 baseline: 4.20MB for
-# the bpe scan body at (32, 8192) big-bucket structure — nearly identical
-# to the full bench shape's 4.26MB, i.e. structure-dominated, which is
-# what makes this a valid CI proxy).  ~20% headroom: the guarded failure
-# mode is a structural DOUBLING (r4's extra ladder rung), not drift.
-BPE_SCAN_CEILING = 5_000_000
+# StableHLO ceilings at the test shape (measured r5: 4.20MB for the bpe
+# scan body at (32, 8192) big-bucket structure — nearly identical to the
+# full bench shape's 4.26MB, i.e. structure-dominated, which is what
+# makes this a valid CI proxy; 5.52MB after the radix-4 butterflies,
+# which triple per-stage ops but halve the stage/pass count).  ~15%
+# headroom: the guarded failure mode is a structural DOUBLING (r4's
+# extra ladder rung), not drift.
+BPE_SCAN_CEILING = 6_300_000
 MAX_WHILE_LOOPS = 12
 MAX_CONDS = 10
 

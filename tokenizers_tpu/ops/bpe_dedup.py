@@ -453,42 +453,54 @@ def dedup_finish(
 
     # ---- encode it ----------------------------------------------------
     if encode_fn is not None:
-        # Occupancy slice (r5): unique words pack densely from row 0 and
-        # the encoder costs the WHOLE buffer (probe sweep + DP/chain), but
-        # capacity is sized for the worst case — typical occupancy is a
-        # fraction, and with the persistent word cache later chunks carry
-        # only NEW words.  Run the encoder on the half buffer when the
-        # unique bytes fit it; pad the dead rows back.
-        ru_h = ru // 2
-        if ru_h >= 2 and ru > 4:
-            fits_half = total_u <= ru_h * uceff
-
-            def e_half(_):
+        # Occupancy tiers (r5): unique words pack densely from row 0 and
+        # the encoder costs the WHOLE buffer slice it runs on (probe
+        # sweep + DP/chain), but capacity is sized for the worst case —
+        # typical occupancy is a fraction, and with the persistent word
+        # cache later chunks carry only NEW words (steady-state serving:
+        # a few %).  Run the encoder on the smallest static row slice the
+        # unique bytes fit (ru/8, ru/2, full); pad the dead rows back.
+        def _enc_sliced(ru_s):
+            def run(_):
                 r = encode_fn(
-                    b_u[:ru_h], uhead[:ru_h], inb_u[:ru_h], wid_u[:ru_h],
-                    wend_f[:ru_h], upos_f[:ru_h],
+                    b_u[:ru_s], uhead[:ru_s], inb_u[:ru_s], wid_u[:ru_s],
+                    wend_f[:ru_s], upos_f[:ru_s],
                 )
                 ids2, wid2, bad2 = r
-                pad = ru - ru_h
-                uc2 = ids2.shape[1]
-                ids2 = jnp.concatenate(
-                    [ids2, jnp.full((pad, uc2), -1, ids2.dtype)]
-                )
-                wid2 = jnp.concatenate(
-                    [wid2, jnp.full((pad, uc2), -1, wid2.dtype)]
-                )
-                if getattr(bad2, "ndim", 0) == 2:
-                    bad2 = jnp.concatenate(
-                        [bad2, jnp.zeros((pad, bad2.shape[1]), bad2.dtype)]
+                if ru_s < ru:
+                    pad = ru - ru_s
+                    uc2 = ids2.shape[1]
+                    ids2 = jnp.concatenate(
+                        [ids2, jnp.full((pad, uc2), -1, ids2.dtype)]
                     )
+                    wid2 = jnp.concatenate(
+                        [wid2, jnp.full((pad, uc2), -1, wid2.dtype)]
+                    )
+                    if getattr(bad2, "ndim", 0) == 2:
+                        bad2 = jnp.concatenate(
+                            [
+                                bad2,
+                                jnp.zeros((pad, bad2.shape[1]), bad2.dtype),
+                            ]
+                        )
                 return ids2, wid2, bad2
 
-            def e_full(_):
-                return encode_fn(b_u, uhead, inb_u, wid_u, wend_f, upos_f)
+            return run
 
-            ids_u, wid_u2, bad_m = jax.lax.cond(
-                fits_half, e_half, e_full, None
-            )
+        e_set = (
+            (ru // 8, ru // 2) if cache_state is not None else (ru // 2,)
+        )
+        e_tiers = sorted({r for r in e_set if 2 <= r < ru})
+        if e_tiers and ru > 4:
+            expr = _enc_sliced(ru)
+            for ru_s in reversed(e_tiers):
+                inner = expr
+                fit_s = total_u <= ru_s * uceff
+                expr = (
+                    lambda args, _f=fit_s, _r=_enc_sliced(ru_s),
+                    _i=inner: jax.lax.cond(_f, _r, _i, args)
+                )
+            ids_u, wid_u2, bad_m = expr(None)
         else:
             ids_u, wid_u2, bad_m = encode_fn(
                 b_u, uhead, inb_u, wid_u, wend_f, upos_f
@@ -539,40 +551,54 @@ def dedup_finish(
         ids0 = jnp.where(uhead & ww_hit, stored_id, ids0)
         ids0 = jnp.where(word_is_hit & ~uhead, -1, ids0)
 
-    # Occupancy slice: every merge round costs the WHOLE [ru, uc] buffer,
-    # but unique words pack densely from row 0 (uoff is a global cumsum),
-    # so on typical text only the first few rows are occupied (measured
-    # ~60k of 270k positions on the bench corpus).  When the unique bytes
-    # fit the first ru/2 rows, run the merge phases on that static slice
-    # and pad the dead rows back — halving merge cost; dedup-poor chunks
-    # take the full-buffer branch (ladder_depth=0 for program size).
-    ru_h = ru // 2
-    if ru_h >= 2 and ru > 4:
-        fits_half = total_u <= ru_h * uceff
-
-        def m_half(args):
+    # Occupancy tiers: every merge round costs the WHOLE buffer slice it
+    # runs on, but unique words pack densely from row 0 (uoff is a global
+    # cumsum), so the merge runs on the smallest static row slice the
+    # unique bytes fit: ru/8 (the steady-state serving case — with the
+    # persistent word cache, later chunks carry only NEW words, measured
+    # a few % occupancy), ru/2 (typical cold chunks, ~25%), full (dedup-
+    # poor chunks; ladder_depth=0 keeps the rare branch's compiled size
+    # down).  Dead rows pad back after.
+    def _merge_sliced(ru_s, depth):
+        def run(args):
             i0, w0_ = args
             a, w, bad, _ = run_merge_phases(
-                i0[:ru_h], w0_[:ru_h], rows0, rows1, seed, mclr,
-                ladder_depth=ladder_depth,
+                i0[:ru_s], w0_[:ru_s], rows0, rows1, seed, mclr,
+                ladder_depth=depth,
             )
-            uc2 = a.shape[1]
-            pad = ru - ru_h
-            a = jnp.concatenate([a, jnp.full((pad, uc2), -1, a.dtype)])
-            w = jnp.concatenate([w, jnp.full((pad, uc2), -1, w.dtype)])
-            bad = jnp.concatenate([bad, jnp.zeros((pad,), bad.dtype)])
+            if ru_s < ru:
+                uc2 = a.shape[1]
+                pad = ru - ru_s
+                a = jnp.concatenate(
+                    [a, jnp.full((pad, uc2), -1, a.dtype)]
+                )
+                w = jnp.concatenate(
+                    [w, jnp.full((pad, uc2), -1, w.dtype)]
+                )
+                bad = jnp.concatenate([bad, jnp.zeros((pad,), bad.dtype)])
             return a, w, bad
 
-        def m_full(args):
-            i0, w0_ = args
-            a, w, bad, _ = run_merge_phases(
-                i0, w0_, rows0, rows1, seed, mclr, ladder_depth=0
-            )
-            return a, w, bad
+        return run
 
-        ids_u, wid_u2, bad_m = jax.lax.cond(
-            fits_half, m_half, m_full, (ids0, wid_u)
-        )
+    # smallest tier runs a plain while tail (depth 0): at its row count a
+    # round is already cheap, and a third full ladder instance was +60%
+    # lowered-program size (tests/test_program_size.py).  The ru/8 tier
+    # exists only in the CACHED program — steady-state serving is where
+    # occupancy drops to a few % — so the cold program stays two-tier.
+    t_set = (ru // 8, ru // 2) if cache_state is not None else (ru // 2,)
+    tiers = sorted({r for r in t_set if 2 <= r < ru})
+    tier_depth = {ru // 2: ladder_depth}
+    if tiers and ru > 4:
+        expr = _merge_sliced(ru, 0)
+        for ru_s in reversed(tiers):
+            inner = expr
+            fit_s = total_u <= ru_s * uceff
+            expr = (
+                lambda args, _f=fit_s,
+                _r=_merge_sliced(ru_s, tier_depth.get(ru_s, 0)),
+                _i=inner: jax.lax.cond(_f, _r, _i, args)
+            )
+        ids_u, wid_u2, bad_m = expr((ids0, wid_u))
     else:
         ids_u, wid_u2, bad_m, _ = run_merge_phases(
             ids0, wid_u, rows0, rows1, seed, mclr, ladder_depth=ladder_depth
@@ -837,26 +863,28 @@ def _finish_expand(ids_u, wid_u2, bad_m, ops, geom, b_shape, out_w,
         ooff = G - g0
         # per-output-row totals read at the row's LAST word (ooff + k_w is
         # the row-local inclusive token cumsum, so the last word carries
-        # the row total); row badness rides bit 30 of the same single
-        # scatter-set — replacing the old ntok scatter-max AND the
-        # tie_rows scatter-max.  Valid words are a contiguous prefix of
-        # the table, so rlast fires exactly once per non-empty output row
-        # (no duplicate indices).
-        nxt_first = jnp.concatenate(
-            [rfirst.reshape(-1)[1:], jnp.ones((1,), bool)]
-        ).reshape(wr, wc)
-        nxt_valid = jnp.concatenate(
-            [wvalid.reshape(-1)[1:], jnp.zeros((1,), bool)]
-        ).reshape(wr, wc)
-        rlast = wvalid & (nxt_first | ~nxt_valid)
+        # the row total); row badness rides bit 30 of the same value.
+        # `roww` is SORTED in word-table order (invalid words sort last as
+        # B), so each row's last word is a [B]-query binary search — r5:
+        # this replaces a scatter-set over all 512k word slots (~2.8 ms at
+        # bench scale) with ~19 gather steps over 256 queries.
         row_any_bad = (badcum + wbad_w.astype(jnp.int32) - bc0) > 0
         val = (ooff + k_w) | jnp.where(
             row_any_bad, jnp.int32(1) << 30, jnp.int32(0)
         )
-        packed_row = (
-            jnp.zeros((B + 1,), jnp.int32)
-            .at[jnp.where(rlast.reshape(-1), roww.reshape(-1), B)]
-            .set(jnp.where(rlast, val, 0).reshape(-1))[:B]
+        roww_f = roww.reshape(-1)
+        idx = (
+            jnp.searchsorted(
+                roww_f, jnp.arange(B, dtype=jnp.int32), side="right"
+            )
+            - 1
+        )
+        hitr = (idx >= 0) & (
+            roww_f[jnp.clip(idx, 0, roww_f.shape[0] - 1)]
+            == jnp.arange(B, dtype=jnp.int32)
+        )
+        packed_row = jnp.where(
+            hitr, val.reshape(-1)[jnp.clip(idx, 0, roww_f.shape[0] - 1)], 0
         )
         ntok = packed_row & ((jnp.int32(1) << 30) - 1)
         tie_rows = packed_row >> 30

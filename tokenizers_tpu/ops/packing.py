@@ -31,20 +31,18 @@ MIN_L = 64
 MAX_L = 1 << 17  # strings longer than this fall back to the host path
 import os as _os
 
-POSITION_BUDGET = 1 << 21  # ~2M byte positions per device call (CPU tests)
-# TOKENIZERS_TPU_POSITION_BUDGET: experimentation override (r4) — the r2
-# 8M-position experiment measured +24% throughput but OOM'd the remote
-# compile helper; r3 measured element-PASS-bound costs (4x positions bought
-# only ~24%) while the XLA compile grew superlinearly.
-ACCEL_POSITION_BUDGET = int(
-    _os.environ.get("TOKENIZERS_TPU_POSITION_BUDGET", 1 << 21)
-)
+POSITION_BUDGET = 1 << 21  # ~2M byte positions per device call
 
 
 def _position_budget() -> int:
-    from .merge_pallas import on_accelerator
-
-    return ACCEL_POSITION_BUDGET if on_accelerator() else POSITION_BUDGET
+    # TOKENIZERS_TPU_POSITION_BUDGET: override for experiments and for
+    # tests that want bench-realistic doc LENGTHS in CPU-compilable
+    # chunks (read per call, not at import, so test setup can set it).
+    # The r2 8M-position experiment measured +24% throughput but OOM'd
+    # the remote compile helper; r3 measured element-PASS-bound costs.
+    return int(
+        _os.environ.get("TOKENIZERS_TPU_POSITION_BUDGET", POSITION_BUDGET)
+    )
 
 
 def bucket_length(n: int) -> int:

@@ -125,6 +125,13 @@ def compact_left(vals, live, fills, wrap=False, max_shift=None):
     (returns the scalar total count).  vals: tuple of [R, C] arrays riding
     along; fills: per-array fill for vacated slots.
 
+    Radix-4 (r5): each stage resolves a base-4 digit of the shift
+    distance (3 shifted candidates + selects) — HALF the stages of the
+    radix-2 form, and stage count is pass count is cost on this backend.
+    Conflict-freedom survives: with d = hi*4^(s+1) + digit*4^s + lo, a
+    stage-s collision between i < j forces hi_j < hi_i while d_j >= d_i
+    forces hi_j >= hi_i — the radix-2 argument verbatim.
+
     `max_shift`: static bound on the largest move (= max #dead before a
     live element) when the caller knows one; trims the stage count."""
     R, C = vals[0].shape
@@ -132,23 +139,33 @@ def compact_left(vals, live, fills, wrap=False, max_shift=None):
     cnt = _cumsum_rm(live.astype(jnp.int32), wrap)
     pos = _flat_pos(live.shape, wrap)
     d = jnp.where(live, pos - (cnt - 1), 0)
-    n_stages = _bits_for(N if max_shift is None else min(max_shift + 1, N))
-    for b in range(n_stages):
-        k = 1 << b
+    n_bits = _bits_for(N if max_shift is None else min(max_shift + 1, N))
+    n_stages = (n_bits + 1) // 2
+    for s in range(n_stages):
+        k = 1 << (2 * s)
         if k >= N:
             break
-        bit = (d & k) != 0
-        c_live = _shift_next_flat(live & bit, False, k, wrap)
-        keep = live & ~bit
-        new_vals = []
-        for v, f in zip(vals, fills):
-            cv = _shift_next_flat(v, f, k, wrap)
-            new_vals.append(jnp.where(c_live, cv, jnp.where(keep, v, f)))
-        vals = tuple(new_vals)
-        d = jnp.where(
-            c_live, _shift_next_flat(d, 0, k, wrap), jnp.where(keep, d, 0)
-        )
-        live = c_live | keep
+        dig = (d >> (2 * s)) & 3
+        keep = live & (dig == 0)
+        arrs = vals + (d,)
+        fills_d = fills + (0,)
+        outs = [jnp.where(keep, a, f) for a, f in zip(arrs, fills_d)]
+        new_live = keep
+        for q in (1, 2, 3):
+            kq = q * k
+            if kq >= N:
+                break
+            c_live = _shift_next_flat(live & (dig == q), False, kq, wrap)
+            outs = [
+                jnp.where(c_live, _shift_next_flat(a, f, kq, wrap), o)
+                for o, a, f in zip(outs, arrs, fills_d)
+            ]
+            new_live = new_live | c_live
+        vals = tuple(outs[:-1])
+        # clear the resolved base-4 digit from the carried distance
+        d = outs[-1] - (outs[-1] & (jnp.int32(3) * k))
+        d = jnp.where(new_live, d, 0)
+        live = new_live
     count = cnt[-1, -1] if wrap else cnt[:, -1]
     return vals, count
 
@@ -206,25 +223,34 @@ def spread_right(vals, count, tgt, fills, wrap=False, n_out=None,
     d = jnp.where(live, tgt - pos, 0)
     vals, live, d = _pad_to(vals, live, d, n_out, wrap, fills)
     N = n_out if wrap else max(n_out, C)
-    n_stages = _bits_for(N if max_shift is None else min(max_shift + 1, N))
-    for b in range(n_stages - 1, -1, -1):
-        k = 1 << b
+    n_bits = _bits_for(N if max_shift is None else min(max_shift + 1, N))
+    n_stages = (n_bits + 1) // 2
+    # radix-4, MSB-digit-first (the exact inverse of compact_left's
+    # stage order — see its docstring for the conflict-freedom argument)
+    for s in range(n_stages - 1, -1, -1):
+        k = 1 << (2 * s)
         if k >= N:
             continue
-        bit = (d & k) != 0
-        c_live = _shift_prev_flat(live & bit, False, k, wrap)
-        keep = live & ~bit
-        new_vals = []
-        for v, f in zip(vals, fills):
-            cv = _shift_prev_flat(v, f, k, wrap)
-            new_vals.append(jnp.where(c_live, cv, jnp.where(keep, v, f)))
-        vals = tuple(new_vals)
-        d = jnp.where(
-            c_live,
-            _shift_prev_flat(d, 0, k, wrap) - k,
-            jnp.where(keep, d, 0),
-        )
-        live = c_live | keep
+        dig = (d >> (2 * s)) & 3
+        keep = live & (dig == 0)
+        arrs = vals + (d,)
+        fills_d = fills + (0,)
+        outs = [jnp.where(keep, a, f) for a, f in zip(arrs, fills_d)]
+        new_live = keep
+        for q in (1, 2, 3):
+            kq = q * k
+            if kq >= N:
+                break
+            c_live = _shift_prev_flat(live & (dig == q), False, kq, wrap)
+            outs = [
+                jnp.where(c_live, _shift_prev_flat(a, f, kq, wrap), o)
+                for o, a, f in zip(outs, arrs, fills_d)
+            ]
+            new_live = new_live | c_live
+        vals = tuple(outs[:-1])
+        d = outs[-1] - (outs[-1] & (jnp.int32(3) * k))
+        d = jnp.where(new_live, d, 0)
+        live = new_live
     if not wrap and n_out < C:
         vals = tuple(v[:, :n_out] for v in vals)
         live = live[:, :n_out]
