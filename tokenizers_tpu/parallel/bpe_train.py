@@ -75,20 +75,22 @@ class DistributedBpeTrainer:
 
     def do_train(self, word_counts: Dict[str, int], model) -> List[AddedToken]:
         cfg = self.base
-        mesh = self.mesh
-        if mesh is None:
-            mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
         # single-chip meshes have nothing to shard: the host trainer (with
         # its native C++ merge loop — the same split the reference makes,
         # rayon threads + native hot loop) is strictly faster than paying
         # one device pass per merge.  TOKENIZERS_TPU_TRAINER=device forces
         # the device path (used by its tests); multi-chip meshes always
-        # shard on device.
+        # shard on device.  Decide BEFORE touching jax.devices(): backend
+        # init costs ~0.1 s on CPU and multiple seconds through the axon
+        # relay, which the host path must never pay.
         import os as _os
 
         pref = _os.environ.get("TOKENIZERS_TPU_TRAINER", "auto").lower()
-        if mesh.devices.size == 1 and pref != "device":
+        mesh = self.mesh
+        if pref != "device" and (mesh is None or mesh.devices.size == 1):
             return self.base.do_train(word_counts, model)
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
         ndev = mesh.devices.size
 
         word_to_id: Dict[str, int] = {}

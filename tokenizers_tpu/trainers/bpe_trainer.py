@@ -279,6 +279,15 @@ class BpeTrainer:
     ) -> Tuple[List[Tuple[List[int], List[int]]], List[int]]:
         words: List[Tuple[List[int], List[int]]] = []
         counts: List[int] = []
+        if not self.continuing_subword_prefix and not self.end_of_word_suffix:
+            # fast path (gpt2/byte-level configs): a word's symbols are just
+            # its in-alphabet chars — one C-level map per word
+            g = word_to_id.get
+            for word, count in wc.items():
+                counts.append(count)
+                current = [i for i in map(g, word) if i is not None]
+                words.append((current, [1] * len(current)))
+            return words, counts
         for word, count in wc.items():
             current: List[int] = []
             counts.append(count)
