@@ -531,10 +531,12 @@ CONFIGS = [
     ("gpt2_cold", "gpt2_bpe_batch_encode_bytes_per_sec_per_chip", 600, 60),
     ("train", "bpe_train_1mb_vocab512_wallclock", 120, 0),
     ("gpt2_cached", "gpt2_bpe_batch_encode_cached_bytes_per_sec_per_chip",
-     240, 40),
+     280, 40),
     ("llama3", "llama3_bpe_batch_encode_bytes_per_sec_per_chip", 300, 40),
-    ("bert", "bert_wordpiece_batch_encode_bytes_per_sec_per_chip", 240, 40),
-    ("unigram", "unigram_batch_encode_bytes_per_sec_per_chip", 240, 40),
+    ("bert", "bert_wordpiece_batch_encode_bytes_per_sec_per_chip", 280, 40),
+    # warm-start (trace+lower+executable load over the relay) is ~190s for
+    # the unigram scan program — the r4 cap of 240s left < 10s of margin
+    ("unigram", "unigram_batch_encode_bytes_per_sec_per_chip", 330, 30),
 ]
 
 
